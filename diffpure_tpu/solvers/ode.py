@@ -1,0 +1,40 @@
+"""Fixed-step Euler ODE integrator as a single lax.scan.
+
+TPU-native replacement for torchdiffeq.odeint(method='euler', step_size=...)
+(ref: runners/diffpure_ode.py:229-238). Deterministic; differentiable with
+exact backprop via checkpointed scan (default) or O(1)-memory adjoint
+(solvers/adjoint.py).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+OdeFn = Callable[[Array, Array], Array]  # f(x, t) -> dx/dt
+
+
+def odeint_euler(
+    func: OdeFn,
+    x0: Array,
+    t0: float,
+    t1: float,
+    n_steps: int,
+    *,
+    remat: bool = True,
+) -> Array:
+    """Integrate dx/dt = func(x, t) from t0 to t1 with n_steps Euler steps."""
+    dt = (t1 - t0) / n_steps
+
+    def step(x, i):
+        t = t0 + i.astype(x0.dtype) * dt
+        tb = jnp.full((x.shape[0],), t, dtype=x.dtype)
+        x = x + func(x, tb) * dt
+        return x, None
+
+    if remat:
+        step = jax.checkpoint(step)
+    x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
+    return x1
