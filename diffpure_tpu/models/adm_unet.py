@@ -1,0 +1,305 @@
+"""ADM (guided-diffusion) UNet in flax (NHWC), checkpoint-compatible.
+
+Re-implementation of the reference UNetModel (ref: guided_diffusion/unet.py:404-671)
+used for ImageNet 256x256 purification (552M params, learn_sigma 6-channel
+output). Flax submodule names mirror torch state-dict keys with '.'->'_'
+(`input_blocks_4_0`, `time_embed_0`, ...), so translation is a key rewrite.
+
+TPU-native decisions:
+  - NHWC + HWIO everywhere; the reference's 1D attention convs become Dense
+    layers over the channel axis.
+  - Mixed precision: params fp32, compute dtype configurable (bf16 on TPU —
+    replaces the reference fp16 torso + fp32 GroupNorm, unet.py:626-640);
+    GroupNorm statistics always fp32 (ops/groupnorm.py), softmax fp32
+    (ops/attention.py).
+  - Gradient checkpointing: flax remat on res/attention blocks mirrors
+    use_checkpoint (unet.py:240,305) — configured by the purify runner, since
+    under lax.scan the scan-level remat already bounds memory.
+
+ImageNet-256 configuration (ref configs/imagenet.yml + script_util.py:156-168):
+model_channels=256, channel_mult=(1,1,2,2,4,4), num_res_blocks=2,
+attention at ds 8/16/32, num_head_channels=64, resblock_updown=True,
+use_scale_shift_norm=True, out_channels=6.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffpure_tpu.models.layers import adm_timestep_embedding
+from diffpure_tpu.models.registry import register_model
+from diffpure_tpu.ops import qkv_attention
+from diffpure_tpu.ops.groupnorm import group_norm
+
+Array = jax.Array
+
+
+def zero_init():
+    """zero_module init (ref guided_diffusion/nn.py:76-82)."""
+    return nn.initializers.zeros
+
+
+class GroupNorm32(nn.Module):
+    """32-group GroupNorm, fp32 statistics (ref nn.py:20-27,101-108)."""
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        shaped = x if x.ndim == 4 else x[:, :, None, :]
+        out = group_norm(shaped, scale, bias, self.num_groups, self.eps)
+        return out if x.ndim == 4 else out[:, :, 0, :]
+
+
+class ResBlockADM(nn.Module):
+    """ADM residual block with FiLM conditioning (ref unet.py:151-265)."""
+    out_channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    use_conv_skip: bool = False
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, emb: Array, *, train: bool = False) -> Array:
+        in_ch = x.shape[-1]
+        conv = lambda feats, name, init=nn.initializers.lecun_normal(): nn.Conv(
+            feats, (3, 3), padding="SAME", kernel_init=init, dtype=self.dtype,
+            name=name)
+
+        h = nn.swish(GroupNorm32(name="in_layers_0")(x))
+        if self.up:
+            N, H, W, C = h.shape
+            h = jax.image.resize(h, (N, H * 2, W * 2, C), "nearest")
+            x = jax.image.resize(x, (N, H * 2, W * 2, in_ch), "nearest")
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = conv(self.out_channels, "in_layers_2")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm
+            else self.out_channels,
+            dtype=self.dtype, name="emb_layers_1")(nn.swish(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_layers_0")(h) * (1 + scale) + shift
+            h = nn.swish(h)
+        else:
+            h = h + emb_out
+            h = nn.swish(GroupNorm32(name="out_layers_0")(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv(self.out_channels, "out_layers_3", init=zero_init())(h)
+
+        if self.out_channels == in_ch:
+            skip = x
+        elif self.use_conv_skip:
+            skip = conv(self.out_channels, "skip_connection")(x)
+        else:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="skip_connection")(x)
+        return skip + h
+
+
+class AttentionBlockADM(nn.Module):
+    """Spatial self-attention (ref unet.py:267-333).
+
+    The reference's 1x1 conv1d qkv/proj become Dense layers on the channel
+    axis (translated from torch (out,in,1) weights).
+    """
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_new_attention_order: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        N, H, W, C = x.shape
+        if self.num_head_channels == -1:
+            heads = self.num_heads
+        else:
+            assert C % self.num_head_channels == 0
+            heads = C // self.num_head_channels
+        h = x.reshape(N, H * W, C)
+        h_norm = GroupNorm32(name="norm")(h)
+        qkv = nn.Dense(C * 3, dtype=self.dtype, name="qkv")(h_norm)
+        a = qkv_attention(qkv, heads,
+                          order="new" if self.use_new_attention_order
+                          else "legacy")
+        a = nn.Dense(C, kernel_init=zero_init(), dtype=self.dtype,
+                     name="proj_out")(a)
+        return (h + a).reshape(N, H, W, C)
+
+
+class UpsampleADM(nn.Module):
+    """Nearest 2x upsample + optional conv (ref unet.py:89-118)."""
+    out_channels: int
+    use_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        N, H, W, C = x.shape
+        x = jax.image.resize(x, (N, H * 2, W * 2, C), "nearest")
+        if self.use_conv:
+            x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                        dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class DownsampleADM(nn.Module):
+    """Stride-2 conv or avg-pool downsample (ref unet.py:121-144)."""
+    out_channels: int
+    use_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.use_conv:
+            return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                           padding="SAME", dtype=self.dtype, name="op")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+@register_model(name="adm")
+class ADMUNet(nn.Module):
+    """Full ADM UNet (ref unet.py:404-671)."""
+
+    image_size: int = 256
+    in_channels: int = 3
+    model_channels: int = 256
+    out_channels: int = 6  # learn_sigma
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (8, 16, 32)  # ds values
+    dropout: float = 0.0
+    channel_mult: Tuple[float, ...] = (1, 1, 2, 2, 4, 4)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    num_heads: int = 4
+    num_head_channels: int = 64
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    use_new_attention_order: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 torso)
+
+    @nn.compact
+    def __call__(self, x: Array, timesteps: Array,
+                 y: Optional[Array] = None, *, train: bool = False) -> Array:
+        assert (y is not None) == (self.num_classes is not None)
+        heads_up = (self.num_heads if self.num_heads_upsample == -1
+                    else self.num_heads_upsample)
+        time_embed_dim = self.model_channels * 4
+
+        emb = adm_timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(time_embed_dim, name="time_embed_0")(emb)
+        emb = nn.Dense(time_embed_dim, name="time_embed_2")(nn.swish(emb))
+        if self.num_classes is not None:
+            emb = emb + nn.Embed(self.num_classes, time_embed_dim,
+                                 name="label_emb")(y)
+
+        def resblock(name, ch_out, up=False, down=False):
+            return ResBlockADM(out_channels=ch_out,
+                               emb_channels=time_embed_dim,
+                               dropout=self.dropout,
+                               use_scale_shift_norm=self.use_scale_shift_norm,
+                               up=up, down=down, dtype=self.dtype, name=name)
+
+        def attnblock(name, heads):
+            return AttentionBlockADM(
+                num_heads=heads, num_head_channels=self.num_head_channels,
+                use_new_attention_order=self.use_new_attention_order,
+                dtype=self.dtype, name=name)
+
+        input_dtype = x.dtype
+        h = x.astype(self.dtype or x.dtype)
+
+        # --- input blocks (ref unet.py:489-546) ------------------------------
+        ch = int(self.channel_mult[0] * self.model_channels)
+        h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="input_blocks_0_0")(h)
+        hs = [h]
+        input_block_chans = [ch]
+        ds = 1
+        block_i = 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                ch = int(mult * self.model_channels)
+                h = resblock(f"input_blocks_{block_i}_0", ch)(h, emb, train=train)
+                if ds in self.attention_resolutions:
+                    h = attnblock(f"input_blocks_{block_i}_1", self.num_heads)(h)
+                hs.append(h)
+                input_block_chans.append(ch)
+                block_i += 1
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = resblock(f"input_blocks_{block_i}_0", ch,
+                                 down=True)(h, emb, train=train)
+                else:
+                    h = DownsampleADM(ch, self.conv_resample, dtype=self.dtype,
+                                      name=f"input_blocks_{block_i}_0")(h)
+                hs.append(h)
+                input_block_chans.append(ch)
+                ds *= 2
+                block_i += 1
+
+        # --- middle (ref unet.py:548-571) -------------------------------------
+        h = resblock("middle_block_0", ch)(h, emb, train=train)
+        h = attnblock("middle_block_1", self.num_heads)(h)
+        h = resblock("middle_block_2", ch)(h, emb, train=train)
+
+        # --- output blocks (ref unet.py:573-618) -------------------------------
+        block_i = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                ich = input_block_chans.pop()
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                ch = int(self.model_channels * mult)
+                h = resblock(f"output_blocks_{block_i}_0", ch)(h, emb,
+                                                               train=train)
+                layer_j = 1
+                if ds in self.attention_resolutions:
+                    h = attnblock(f"output_blocks_{block_i}_{layer_j}",
+                                  heads_up)(h)
+                    layer_j += 1
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = resblock(f"output_blocks_{block_i}_{layer_j}", ch,
+                                     up=True)(h, emb, train=train)
+                    else:
+                        h = UpsampleADM(ch, self.conv_resample,
+                                        dtype=self.dtype,
+                                        name=f"output_blocks_{block_i}_{layer_j}")(h)
+                    ds //= 2
+                block_i += 1
+        assert not hs
+
+        h = h.astype(input_dtype)
+        h = nn.swish(GroupNorm32(name="out_0")(h))
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       kernel_init=zero_init(), name="out_2")(h)
+
+
+def imagenet256_config(use_bf16: bool = True) -> dict:
+    """ADM hyperparameters for the 256x256_diffusion_uncond checkpoint.
+
+    ref: configs/imagenet.yml + guided_diffusion/script_util.py:138-192.
+    """
+    return dict(
+        image_size=256, in_channels=3, model_channels=256, out_channels=6,
+        num_res_blocks=2, attention_resolutions=(8, 16, 32), dropout=0.0,
+        channel_mult=(1, 1, 2, 2, 4, 4), num_heads=4, num_head_channels=64,
+        use_scale_shift_norm=True, resblock_updown=True,
+        use_new_attention_order=False,
+        dtype=jnp.bfloat16 if use_bf16 else None,
+    )

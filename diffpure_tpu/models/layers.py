@@ -1,0 +1,352 @@
+"""Shared flax layers for the diffusion UNets (NHWC, bf16-aware).
+
+Parameter names deliberately mirror the reference module names
+(GroupNorm_0, Conv_0, Dense_0, NIN_0, ...) so checkpoint translation is a
+mechanical key rewrite (see models/convert.py).
+
+ref: score_sde/models/layers.py, layerspp.py; guided_diffusion/nn.py;
+ddpm/unet_ddpm.py.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpure_tpu.ops import (
+    group_norm,
+    spatial_attention,
+    upsample_2d,
+    downsample_2d,
+    upsample_conv_2d,
+    conv_downsample_2d,
+    naive_upsample_2d,
+    naive_downsample_2d,
+)
+from diffpure_tpu.ops.groupnorm import ncsn_num_groups
+
+Array = jax.Array
+
+
+def ddpm_init(scale: float = 1.0):
+    """DDPM default init: variance_scaling(scale, fan_avg, uniform).
+
+    ref: score_sde/models/layers.py:54-91 (itself ported from JAX — this is
+    the round trip home). scale==0 is clamped to 1e-10 as in the reference.
+    """
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def get_timestep_embedding(timesteps: Array, embedding_dim: int,
+                           max_positions: int = 10000) -> Array:
+    """DDPM sinusoidal embedding: [sin, cos], freq factor /(half-1).
+
+    ref: score_sde/models/layers.py:515-532, ddpm/unet_ddpm.py:14-32.
+    """
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def adm_timestep_embedding(timesteps: Array, dim: int,
+                           max_period: int = 10000) -> Array:
+    """ADM sinusoidal embedding: [cos, sin], freq factor /half.
+
+    NOTE the two conventions differ in both ordering and denominator —
+    a classic silent-mismatch trap (ref guided_diffusion/nn.py:110-128).
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class GroupNormTorch(nn.Module):
+    """GroupNorm with torch semantics and fp32 statistics.
+
+    Param names `scale`/`bias` translate from torch `weight`/`bias`.
+    """
+    num_groups: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return group_norm(x, scale.astype(x.dtype), bias.astype(x.dtype),
+                          self.num_groups, self.eps)
+
+
+class NIN(nn.Module):
+    """1x1 'network-in-network': dense over the channel axis.
+
+    Torch stores W (in, out) + b — identical to a flax Dense kernel, so in
+    NHWC this *is* a Dense (ref score_sde/models/layers.py:546-556).
+    """
+    features: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        W = self.param("W", ddpm_init(self.init_scale), (in_dim, self.features))
+        b = self.param("b", nn.initializers.zeros, (self.features,))
+        return x @ W.astype(x.dtype) + b.astype(x.dtype)
+
+
+def conv3x3(features: int, init_scale: float = 1.0, stride: int = 1,
+            padding="SAME", bias: bool = True, name: Optional[str] = None,
+            dtype=None) -> nn.Conv:
+    """3x3 conv with DDPM init (ref layers.py:118-127)."""
+    return nn.Conv(features, (3, 3), strides=(stride, stride), padding=padding,
+                   use_bias=bias, kernel_init=ddpm_init(init_scale),
+                   bias_init=nn.initializers.zeros, name=name, dtype=dtype)
+
+
+def conv1x1(features: int, init_scale: float = 1.0, stride: int = 1,
+            bias: bool = True, name: Optional[str] = None, dtype=None) -> nn.Conv:
+    """1x1 conv with DDPM init (ref layers.py:100-107)."""
+    return nn.Conv(features, (1, 1), strides=(stride, stride), padding="VALID",
+                   use_bias=bias, kernel_init=ddpm_init(init_scale),
+                   bias_init=nn.initializers.zeros, name=name, dtype=dtype)
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier features for continuous noise levels.
+
+    ref: score_sde/models/layerspp.py:32-41. `W` is a frozen random
+    projection loaded from the checkpoint.
+    """
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        W = self.param(
+            "W", lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.embedding_size,))
+        W = jax.lax.stop_gradient(W)
+        x_proj = x[:, None] * W[None, :] * 2 * np.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class Combine(nn.Module):
+    """Combine a pyramid skip with the trunk (ref layerspp.py:44-59)."""
+    features: int
+    method: str = "cat"
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array) -> Array:
+        h = conv1x1(self.features, name="Conv_0")(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(self.method)
+
+
+class AttnBlockpp(nn.Module):
+    """NCSN++ channel-wise self-attention block (ref layerspp.py:62-91)."""
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        h = GroupNormTorch(ncsn_num_groups(C), eps=1e-6, name="GroupNorm_0")(x)
+        q = NIN(C, name="NIN_0")(h)
+        k = NIN(C, name="NIN_1")(h)
+        v = NIN(C, name="NIN_2")(h)
+        h = spatial_attention(q, k, v)
+        h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class FIRConv2d(nn.Module):
+    """StyleGAN2 Conv2d with fused FIR up/downsampling.
+
+    Param `weight` is HWIO (torch stores OIHW; translated). ref
+    up_or_down_sampling.py:31-64.
+    """
+    features: int
+    kernel: int = 3
+    up: bool = False
+    down: bool = False
+    resample_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        w = self.param("weight", ddpm_init(),
+                       (self.kernel, self.kernel, in_ch, self.features))
+        w = w.astype(x.dtype)
+        if self.up:
+            x = upsample_conv_2d(x, w, k=self.resample_kernel)
+        elif self.down:
+            x = conv_downsample_2d(x, w, k=self.resample_kernel)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1),
+                ((self.kernel // 2,) * 2, (self.kernel // 2,) * 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            x = x + b.astype(x.dtype).reshape(1, 1, 1, -1)
+        return x
+
+
+class UpsampleLayer(nn.Module):
+    """NCSN++ Upsample (ref layerspp.py:94-126)."""
+    features: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        N, H, W, C = x.shape
+        out_ch = self.features or C
+        if not self.fir:
+            h = jax.image.resize(x, (N, H * 2, W * 2, C), method="nearest")
+            if self.with_conv:
+                h = conv3x3(out_ch, name="Conv_0")(h)
+        else:
+            if not self.with_conv:
+                h = upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = FIRConv2d(out_ch, kernel=3, up=True,
+                              resample_kernel=self.fir_kernel,
+                              name="Conv2d_0")(x)
+        return h
+
+
+class DownsampleLayer(nn.Module):
+    """NCSN++ Downsample (ref layerspp.py:129-163)."""
+    features: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        N, H, W, C = x.shape
+        out_ch = self.features or C
+        if not self.fir:
+            if self.with_conv:
+                # Asymmetric (0,1) pad then stride-2 VALID conv
+                # (ref layerspp.py:152-154).
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = conv3x3(out_ch, stride=2, padding="VALID", name="Conv_0")(x)
+            else:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        else:
+            if not self.with_conv:
+                x = downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                x = FIRConv2d(out_ch, kernel=3, down=True,
+                              resample_kernel=self.fir_kernel,
+                              name="Conv2d_0")(x)
+        return x
+
+
+class ResnetBlockDDPMpp(nn.Module):
+    """DDPM-style residual block (ref layerspp.py:166-209)."""
+    out_ch: Optional[int] = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    act: Callable = nn.swish
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
+                                    name="GroupNorm_0")(x))
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(),
+                             name="Dense_0")(self.act(temb))[:, None, None, :]
+        h = self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
+                                    name="GroupNorm_1")(h))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch, name="Conv_2")(x)
+            else:
+                x = NIN(out_ch, name="NIN_0")(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class ResnetBlockBigGANpp(nn.Module):
+    """BigGAN-style residual block with optional resampling
+    (ref layerspp.py:212-274)."""
+    out_ch: Optional[int] = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    act: Callable = nn.swish
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
+                                    name="GroupNorm_0")(x))
+        if self.up:
+            if self.fir:
+                h = upsample_2d(h, self.fir_kernel, factor=2)
+                x = upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = naive_upsample_2d(h, factor=2)
+                x = naive_upsample_2d(x, factor=2)
+        elif self.down:
+            if self.fir:
+                h = downsample_2d(h, self.fir_kernel, factor=2)
+                x = downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = naive_downsample_2d(h, factor=2)
+                x = naive_downsample_2d(x, factor=2)
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(),
+                             name="Dense_0")(self.act(temb))[:, None, None, :]
+        h = self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
+                                    name="GroupNorm_1")(h))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if in_ch != out_ch or self.up or self.down:
+            x = conv1x1(out_ch, name="Conv_2")(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
