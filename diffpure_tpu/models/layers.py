@@ -197,7 +197,8 @@ class FIRConv2d(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
-        w = self.param("weight", ddpm_init(),
+        # Named `kernel` (HWIO) so the generic OIHW->HWIO ckpt transform applies.
+        w = self.param("kernel", ddpm_init(),
                        (self.kernel, self.kernel, in_ch, self.features))
         w = w.astype(x.dtype)
         if self.up:

@@ -1,0 +1,113 @@
+"""Helpers to load the *reference* torch models as numeric oracles.
+
+The reference repo at /root/reference is imported read-only to produce
+golden outputs for checkpoint-translation parity tests. The CUDA op JIT
+compile is stubbed out; CPU fallbacks take over (ref score_sde/op/upfirdn2d.py
+and fused_act.py guard on device.type == 'cpu').
+"""
+import sys
+import types
+from types import SimpleNamespace
+
+REFERENCE = "/root/reference"
+
+_patched = False
+
+
+def _patch_cpp_extension():
+    global _patched
+    if _patched:
+        return
+    import torch.utils.cpp_extension as ce
+
+    class _NullOp:
+        def __getattr__(self, name):
+            raise RuntimeError("CUDA op not available in CPU tests")
+
+    ce.load = lambda *a, **k: _NullOp()
+
+    # The reference calls F.interpolate(x, size, 'nearest') positionally
+    # (layerspp.py:117), which modern torch rejects (mode lands in
+    # scale_factor). Shim it so the reference keeps its torch-1.7 behavior.
+    import torch.nn.functional as F
+    orig_interpolate = F.interpolate
+
+    def _interpolate(input, size=None, scale_factor=None, mode="nearest",
+                     **kw):
+        if isinstance(scale_factor, str):
+            mode, scale_factor = scale_factor, None
+        return orig_interpolate(input, size=size, scale_factor=scale_factor,
+                                mode=mode, **kw)
+
+    F.interpolate = _interpolate
+    _patched = True
+
+
+def add_reference_path():
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+def load_reference_ncsnpp(config):
+    """Instantiate reference NCSNpp (eval mode) on CPU."""
+    _patch_cpp_extension()
+    add_reference_path()
+    from score_sde.models import ncsnpp as ref_ncsnpp
+    model = ref_ncsnpp.NCSNpp(config)
+    model.eval()
+    return model
+
+
+def load_reference_adm(**kwargs):
+    _patch_cpp_extension()
+    add_reference_path()
+    from guided_diffusion.unet import UNetModel
+    model = UNetModel(**kwargs)
+    model.eval()
+    return model
+
+
+def load_reference_ddpm(config):
+    _patch_cpp_extension()
+    add_reference_path()
+    from ddpm.unet_ddpm import Model
+    model = Model(config)
+    model.eval()
+    return model
+
+
+def cifar10_ref_config(**overrides):
+    """Reference-style namespace config for NCSN++ (configs/cifar10.yml)."""
+    model = dict(
+        sigma_min=0.01, sigma_max=50, num_scales=1000, beta_min=0.1,
+        beta_max=20.0, dropout=0.1, name="ncsnpp", scale_by_sigma=False,
+        ema_rate=0.9999, normalization="GroupNorm", nonlinearity="swish",
+        nf=128, ch_mult=[1, 2, 2, 2], num_res_blocks=8,
+        attn_resolutions=[16], resamp_with_conv=True, conditional=True,
+        fir=False, fir_kernel=[1, 3, 3, 1], skip_rescale=True,
+        resblock_type="biggan", progressive="none", progressive_input="none",
+        progressive_combine="sum", attention_type="ddpm", init_scale=0.0,
+        embedding_type="positional", fourier_scale=16, conv_size=3,
+        sigma_dist=None,
+    )
+    model.update(overrides.pop("model", {}))
+    data = dict(dataset="CIFAR10", image_size=32, num_channels=3,
+                centered=True)
+    data.update(overrides.pop("data", {}))
+    training = dict(continuous=True, sde="vpsde")
+    return SimpleNamespace(
+        model=SimpleNamespace(**model),
+        data=SimpleNamespace(**data),
+        training=SimpleNamespace(**training),
+    )
+
+
+def celeba_ref_config(image_size=256, **model_overrides):
+    model = dict(type="simple", in_channels=3, out_ch=3, ch=128,
+                 ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+                 attn_resolutions=[16], dropout=0.0, var_type="fixedsmall",
+                 ema_rate=0.999, ema=True, resamp_with_conv=True)
+    model.update(model_overrides)
+    data = dict(dataset="CelebA_HQ", image_size=image_size, channels=3)
+    return SimpleNamespace(model=SimpleNamespace(**model),
+                           data=SimpleNamespace(**data))
