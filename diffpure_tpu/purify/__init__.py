@@ -1,0 +1,14 @@
+from diffpure_tpu.purify.config import PurifyConfig
+from diffpure_tpu.purify.runners import (
+    purify,
+    purify_sde,
+    purify_ode,
+    purify_ldsde,
+    purify_guided_ddpm,
+    purify_celebahq_ddpm,
+)
+
+__all__ = [
+    "PurifyConfig", "purify", "purify_sde", "purify_ode", "purify_ldsde",
+    "purify_guided_ddpm", "purify_celebahq_ddpm",
+]
