@@ -166,8 +166,10 @@ class DownsampleADM(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.use_conv:
+            # torch padding=1 under stride 2 (explicit; != XLA "SAME")
             return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                           padding="SAME", dtype=self.dtype, name="op")(x)
+                           padding=((1, 1), (1, 1)), dtype=self.dtype,
+                           name="op")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
