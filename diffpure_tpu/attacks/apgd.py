@@ -1,0 +1,253 @@
+"""Auto-PGD (APGD) with momentum, adaptive step halving, and EOT.
+
+Faithful JAX reimplementation of AutoAttack's APGD (the torch-only upstream
+dependency; SURVEY.md §2.7/§7.4.3): Linf/L2 steps, alpha=0.75 momentum,
+checkpoint schedule p_{j+1} = p_j + max(p_j - p_{j-1} - 0.03, 0.06) starting
+(0, 0.22), oscillation-based step halving with best-point restart, and the
+CE / DLR / targeted-DLR losses. EOT (the Rand protocol, eot_iter=20,
+ref eval_sde_adv.py:103-110) averages gradients AND losses over fresh
+defense noise (the upstream bookkeeping uses the last EOT sample's loss; the
+mean is the lower-variance estimator of the same quantity).
+
+The whole attack is one lax.scan -> a single XLA program per restart; the
+per-example dynamic state (step size, improvement counters, best points) is
+carried vectorized.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpure_tpu.attacks.losses import ce_loss, dlr_loss, dlr_loss_targeted
+
+Array = jax.Array
+ModelFn = Callable[[Array, Array], Array]  # (x01, key) -> logits
+
+
+@dataclasses.dataclass(frozen=True)
+class APGDConfig:
+    norm: str = "Linf"  # 'Linf' | 'L2'
+    eps: float = 8 / 255
+    n_iter: int = 100
+    n_restarts: int = 1
+    eot_iter: int = 1
+    rho: float = 0.75
+    loss: str = "ce"  # 'ce' | 'dlr' | 'dlr-targeted'
+    n_target_classes: int = 9  # for apgd-t
+    seed: int = 0
+
+
+def _checkpoints(n_iter: int):
+    """AutoAttack's decreasing checkpoint schedule."""
+    n_iter_2 = max(int(0.22 * n_iter), 1)
+    n_iter_min = max(int(0.06 * n_iter), 1)
+    size_decr = max(int(0.03 * n_iter), 1)
+    ckpts = [n_iter_2]
+    interval = n_iter_2
+    while ckpts[-1] < n_iter:
+        interval = max(interval - size_decr, n_iter_min)
+        ckpts.append(ckpts[-1] + interval)
+    is_ckpt = np.zeros(n_iter, dtype=bool)
+    window = np.zeros(n_iter, dtype=np.int32)
+    prev = 0
+    for c in ckpts:
+        if c < n_iter:
+            is_ckpt[c] = True
+            window[c] = c - prev
+            prev = c
+    return is_ckpt, window
+
+
+def _project(x0: Array, z: Array, eps: float, norm: str) -> Array:
+    """Project z onto the eps-ball around x0 intersected with [0,1]."""
+    if norm == "Linf":
+        z = jnp.clip(z, x0 - eps, x0 + eps)
+    else:  # L2
+        d = z - x0
+        nrm = jnp.sqrt(jnp.sum(d.reshape(d.shape[0], -1) ** 2,
+                               axis=-1)).reshape(-1, 1, 1, 1)
+        factor = jnp.minimum(1.0, eps / jnp.maximum(nrm, 1e-12))
+        z = x0 + d * factor
+    return jnp.clip(z, 0.0, 1.0)
+
+
+def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
+                   eot_iter: int):
+    """EOT-averaged (loss, grad, logits)."""
+    def single(k):
+        def f(xx):
+            logits = model_fn(xx, k)
+            losses = loss_fn(logits)
+            return losses.sum(), (losses, logits)
+        (_, (losses, logits)), g = jax.value_and_grad(f, has_aux=True)(x)
+        return losses, g, logits
+
+    losses, grads, logits = single(jax.random.fold_in(key, 0))
+    for i in range(1, eot_iter):
+        l2, g2, logits = single(jax.random.fold_in(key, i))
+        losses = losses + l2
+        grads = grads + g2
+    return losses / eot_iter, grads / eot_iter, logits
+
+
+def _init_perturbation(key: Array, x: Array, cfg: APGDConfig) -> Array:
+    if cfg.norm == "Linf":
+        t = 2 * jax.random.uniform(key, x.shape) - 1
+        tmax = jnp.max(jnp.abs(t.reshape(t.shape[0], -1)),
+                       axis=-1).reshape(-1, 1, 1, 1)
+        x_adv = x + cfg.eps * t / jnp.maximum(tmax, 1e-12)
+    else:
+        t = jax.random.normal(key, x.shape)
+        tn = jnp.sqrt(jnp.sum(t.reshape(t.shape[0], -1) ** 2,
+                              axis=-1)).reshape(-1, 1, 1, 1)
+        x_adv = x + cfg.eps * t / jnp.maximum(tn, 1e-12)
+    return jnp.clip(x_adv, 0.0, 1.0)
+
+
+def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
+                     key: Array, cfg: APGDConfig):
+    B = x.shape[0]
+    is_ckpt_np, window_np = _checkpoints(cfg.n_iter)
+    is_ckpt = jnp.asarray(is_ckpt_np)
+    window = jnp.asarray(window_np)
+
+    k_init, k_loop = jax.random.split(key)
+    x_adv = _init_perturbation(k_init, x, cfg)
+    losses, grad, logits = _loss_and_grad(model_fn, loss_fn, x_adv,
+                                          jax.random.fold_in(k_loop, 2**31 - 1),
+                                          cfg.eot_iter)
+    pred_ok = jnp.argmax(logits, -1) == y
+
+    # AA uses 2*eps initial step for both norms (L2 grad is normalized).
+    step_size = jnp.full((B, 1, 1, 1), 2.0 * cfg.eps)
+
+    carry = dict(
+        x_adv=x_adv, x_adv_old=x_adv, grad=grad,
+        x_best=x_adv, loss_best=losses, grad_best=grad,
+        x_best_adv=jnp.where(pred_ok[:, None, None, None], x_adv, x_adv),
+        found=~pred_ok,
+        step_size=step_size,
+        n_improve=jnp.zeros((B,), jnp.int32),
+        loss_prev=losses,
+        loss_best_last_check=losses,
+        reduced_last_check=jnp.ones((B,), bool),
+        key=k_loop,
+    )
+
+    def body(carry, it):
+        i, ck, win = it
+        a = jnp.where(i > 0, 0.75, 1.0)
+        x_adv, x_adv_old = carry["x_adv"], carry["x_adv_old"]
+        grad, step = carry["grad"], carry["step_size"]
+
+        if cfg.norm == "Linf":
+            z = x_adv + step * jnp.sign(grad)
+            x1 = _project(x, z, cfg.eps, cfg.norm)
+            z2 = x_adv + (x1 - x_adv) * a + (x_adv - x_adv_old) * (1 - a)
+            x1 = _project(x, z2, cfg.eps, cfg.norm)
+        else:
+            gn = jnp.sqrt(jnp.sum(grad.reshape(B, -1) ** 2,
+                                  axis=-1)).reshape(-1, 1, 1, 1)
+            z = x_adv + step * grad / jnp.maximum(gn, 1e-12)
+            x1 = _project(x, z, cfg.eps, cfg.norm)
+            z2 = x_adv + (x1 - x_adv) * a + (x_adv - x_adv_old) * (1 - a)
+            x1 = _project(x, z2, cfg.eps, cfg.norm)
+
+        key = jax.random.fold_in(carry["key"], i)
+        losses, new_grad, logits = _loss_and_grad(model_fn, loss_fn, x1,
+                                                  key, cfg.eot_iter)
+        pred_wrong = jnp.argmax(logits, -1) != y
+        found = carry["found"] | pred_wrong
+        x_best_adv = jnp.where(pred_wrong[:, None, None, None], x1,
+                               carry["x_best_adv"])
+
+        improved = losses > carry["loss_best"]
+        x_best = jnp.where(improved[:, None, None, None], x1, carry["x_best"])
+        grad_best = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(improved[:, None, None, None], n, o),
+            new_grad, carry["grad_best"])
+        loss_best = jnp.maximum(losses, carry["loss_best"])
+
+        n_improve = carry["n_improve"] + (losses > carry["loss_prev"])
+
+        # --- checkpoint: step halving -------------------------------------
+        def at_checkpoint(c):
+            osc = c["n_improve"] < jnp.ceil(cfg.rho * win).astype(jnp.int32)
+            no_impr = (~c["reduced_last_check"]) & (
+                c["loss_best_last_check"] >= loss_best)
+            halve = osc | no_impr
+            h4 = halve[:, None, None, None]
+            return dict(c, step_size=jnp.where(h4, c["step_size"] / 2.0,
+                                               c["step_size"]),
+                        x_adv=jnp.where(h4, x_best, c["x_adv"]),
+                        grad=jax.tree_util.tree_map(
+                            lambda g, gb: jnp.where(h4, gb, g),
+                            c["grad"], grad_best),
+                        n_improve=jnp.zeros_like(c["n_improve"]),
+                        loss_best_last_check=loss_best,
+                        reduced_last_check=halve)
+
+        new_carry = dict(carry, x_adv=x1, x_adv_old=x_adv, grad=new_grad,
+                         x_best=x_best, loss_best=loss_best,
+                         grad_best=grad_best, x_best_adv=x_best_adv,
+                         found=found, n_improve=n_improve, loss_prev=losses)
+        new_carry = jax.lax.cond(ck, at_checkpoint, lambda c: c, new_carry)
+        return new_carry, None
+
+    iters = (jnp.arange(cfg.n_iter), is_ckpt, window)
+    carry, _ = jax.lax.scan(body, carry, iters)
+    # flipped examples return their adversarial point; the rest return the
+    # best-loss point (AA keeps both; run_standard_evaluation only consumes
+    # the flipped ones, but callers probing loss progress need x_best).
+    found = carry["found"]
+    x_out = jnp.where(found[:, None, None, None], carry["x_best_adv"],
+                      carry["x_best"])
+    return x_out, found, carry["loss_best"]
+
+
+def apgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
+                cfg: APGDConfig) -> Tuple[Array, Array]:
+    """Run APGD; returns (x_adv, found_mask).
+
+    For loss='dlr-targeted' the top-n_target_classes are attacked in turn
+    (APGD-T semantics). Restarts keep the first successful example.
+    """
+    B = x.shape[0]
+    x_adv_final = x
+    found_final = jnp.zeros((B,), bool)
+
+    if cfg.loss == "dlr-targeted":
+        logits_clean = model_fn(x, jax.random.fold_in(key, 991))
+        order = jnp.argsort(logits_clean, axis=-1)  # ascending
+
+    runs = (cfg.n_target_classes if cfg.loss == "dlr-targeted"
+            else cfg.n_restarts)
+    for run in range(runs):
+        if cfg.loss == "ce":
+            loss_fn = lambda logits: ce_loss(logits, y)
+        elif cfg.loss == "dlr":
+            loss_fn = lambda logits: dlr_loss(logits, y)
+        elif cfg.loss == "dlr-targeted":
+            # target = (run+2)-th most probable class (skip the top class)
+            y_t = order[:, -(run + 2)]
+            loss_fn = lambda logits, y_t=y_t: dlr_loss_targeted(logits, y, y_t)
+        else:
+            raise ValueError(cfg.loss)
+
+        k_run = jax.random.fold_in(key, run)
+        x_adv, found, _ = _apgd_single_run(model_fn, loss_fn, x, y, k_run, cfg)
+        if run == 0:
+            # unfound slots carry the best-loss point of the first run
+            x_adv_final = x_adv
+            found_final = found
+        else:
+            take = found & ~found_final
+            x_adv_final = jnp.where(take[:, None, None, None], x_adv,
+                                    x_adv_final)
+            found_final = found_final | found
+
+    return x_adv_final, found_final

@@ -1,0 +1,150 @@
+"""BPDA+EOT attack: PGD where the purifier's backward pass is the identity.
+
+Faithful rebuild of the reference driver (ref bpda_eot/bpda_eot_attack.py):
+  - defended model split into purify / classify stages (the 3-mode forward,
+    ref eval_sde_adv_bpda.py:108-118);
+  - gradient: EOT over eot_attack_reps purifier samples, CE loss w.r.t. the
+    *purified* images (BPDA: purifier jacobian == identity,
+    ref bpda_eot_attack.py:98-110);
+  - defense decision: mean softmax over eot_defense_reps purifier samples
+    (ref :41-53);
+  - per-example re-verification with the full defense reps whenever an
+    example flips (ref :112-117) — here run on the full batch at flip
+    events (masked equivalent of the reference's data-dependent subset;
+    same decisions, TPU-friendly shapes);
+  - l_inf / l_2 PGD update (ref :86-96).
+
+Returns the per-step defended matrix like the reference `attack_all`
+(ref :169-185).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+# purify_fn(x01, key) -> purified01 ; classify_fn(x01) -> logits
+PurifyFn = Callable[[Array, Array], Array]
+ClassifyFn = Callable[[Array], Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class BPDAEOTConfig:
+    adv_eps: float = 8 / 255
+    adv_eta: float = 2 / 255
+    adv_steps: int = 50
+    eot_defense_reps: int = 150
+    eot_attack_reps: int = 15
+    attack_norm: str = "l_inf"  # 'l_inf' | 'l_2'
+    defense_batch: int = 30  # defense reps evaluated in chunks of this size
+
+
+def _rep_predict(purify_fn: PurifyFn, classify_fn: ClassifyFn, x: Array,
+                 key: Array, reps: int, chunk: int) -> Array:
+    """Mean softmax over `reps` purifier samples (ref :41-53)."""
+    B = x.shape[0]
+    acc = None
+    done = 0
+    r = 0
+    while done < reps:
+        n = min(chunk, reps - done)
+        x_rep = jnp.tile(x, (n, 1, 1, 1))
+        k = jax.random.fold_in(key, r)
+        purified = purify_fn(x_rep, k)
+        logits = classify_fn(purified)
+        p = jax.nn.softmax(logits, axis=-1).reshape(n, B, -1).sum(axis=0)
+        acc = p if acc is None else acc + p
+        done += n
+        r += 1
+    return acc / reps
+
+
+def defense_predict(purify_fn, classify_fn, x, key, cfg: BPDAEOTConfig):
+    probs = _rep_predict(purify_fn, classify_fn, x, key,
+                         cfg.eot_defense_reps, cfg.defense_batch)
+    return jnp.argmax(probs, axis=-1)
+
+
+def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig):
+    """(correct_mask, BPDA gradient) via eot_attack_reps (ref :98-110)."""
+    n = cfg.eot_attack_reps
+    x_rep = jnp.tile(x, (n, 1, 1, 1))
+    purified = purify_fn(x_rep, key)
+    purified = jax.lax.stop_gradient(purified)  # BPDA cut (ref :100)
+
+    def loss(p):
+        logits = classify_fn(p)
+        y_rep = jnp.tile(y, (n,))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.take_along_axis(logp, y_rep[:, None], -1).sum(), logits
+
+    (_, logits), g = jax.value_and_grad(loss, has_aux=True)(purified)
+    B = x.shape[0]
+    grad = g.reshape((n, B) + x.shape[1:]).mean(axis=0)  # identity-jacobian
+    probs = jax.nn.softmax(logits, -1).reshape(n, B, -1).mean(axis=0)
+    correct = jnp.argmax(probs, -1) == y
+    return correct, grad
+
+
+def _pgd_update(x_adv, grad, x0, cfg: BPDAEOTConfig):
+    """ref bpda_eot_attack.py:86-96."""
+    B = x_adv.shape[0]
+    if cfg.attack_norm == "l_inf":
+        x_adv = x_adv + cfg.adv_eta * jnp.sign(grad)
+        x_adv = jnp.clip(x_adv, x0 - cfg.adv_eps, x0 + cfg.adv_eps)
+    else:
+        gn = jnp.sqrt(jnp.sum(grad.reshape(B, -1) ** 2,
+                              axis=-1)).reshape(-1, 1, 1, 1)
+        x_adv = x_adv + cfg.adv_eta * grad / jnp.maximum(gn, 1e-12)
+        d = x_adv - x0
+        dn = jnp.sqrt(jnp.sum(d.reshape(B, -1) ** 2,
+                              axis=-1)).reshape(-1, 1, 1, 1)
+        x_adv = x0 + d * jnp.minimum(1.0, cfg.adv_eps / jnp.maximum(dn, 1e-12))
+    return jnp.clip(x_adv, 0.0, 1.0)
+
+
+def bpda_eot_attack(purify_fn: PurifyFn, classify_fn: ClassifyFn,
+                    x: Array, y: Array, key: Array,
+                    cfg: BPDAEOTConfig) -> Tuple[Array, np.ndarray]:
+    """Returns (x_adv, class_batch) where class_batch is the
+    (adv_steps+2, B) per-step defended matrix (ref :127-167)."""
+    B = x.shape[0]
+    class_batch = np.zeros((cfg.adv_steps + 2, B), dtype=bool)
+
+    # step 0: defense decision on clean inputs
+    pred0 = defense_predict(purify_fn, classify_fn, x,
+                            jax.random.fold_in(key, 10_000), cfg)
+    defended = np.asarray(pred0 == y)
+    class_batch[0] = defended
+
+    attack_step = jax.jit(lambda xa, k: _attack_grad(
+        purify_fn, classify_fn, xa, y, k, cfg))
+
+    x_adv = x
+    for step in range(cfg.adv_steps + 1):
+        k_step = jax.random.fold_in(key, step)
+        correct, grad = attack_step(x_adv, k_step)
+        correct = np.asarray(correct)
+
+        if step == 0:
+            class_batch[1] = defended
+        else:
+            # flip candidates: currently defended but attack-reps say wrong
+            flipped = defended & ~correct
+            if flipped.any():
+                # verify with full defense reps (ref :112-117); masked
+                # full-batch equivalent of the reference's subset call
+                pred = defense_predict(purify_fn, classify_fn, x_adv,
+                                       jax.random.fold_in(k_step, 555), cfg)
+                verified_wrong = np.asarray(pred != y)
+                defended = defended & ~(flipped & verified_wrong)
+            class_batch[step + 1] = defended
+
+        if step < cfg.adv_steps:
+            x_adv = _pgd_update(x_adv, grad, x, cfg)
+
+    return x_adv, class_batch

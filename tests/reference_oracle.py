@@ -40,6 +40,20 @@ def _patch_cpp_extension():
                                 mode=mode, **kw)
 
     F.interpolate = _interpolate
+
+    # mister_ed's utils import torchvision (not installed); only transforms
+    # attributes are touched on import paths we use — stub it.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.ToTensor = object
+        tv.transforms.Normalize = object
+        tv.datasets = types.ModuleType("torchvision.datasets")
+        tv.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.datasets"] = tv.datasets
+        sys.modules["torchvision.utils"] = tv.utils
     _patched = True
 
 
