@@ -101,8 +101,9 @@ class WideResNet(nn.Module):
         out = NetworkBlock(n, widths[3], 2, self.drop_rate,
                            name="block3")(out, train=train)
         out = nn.relu(BatchNormInference(name="bn1")(out))
-        out = nn.avg_pool(out, (8, 8), strides=(8, 8))
-        out = out.reshape(out.shape[0], -1)
+        # global spatial mean == the reference's fixed 8x8 avg-pool at the
+        # 32x32 design size (ref cifar10_resnet.py:188), size-agnostic here
+        out = jnp.mean(out, axis=(1, 2))
         return nn.Dense(self.num_classes, use_bias=self.bias_last,
                         name="fc")(out)
 
@@ -191,6 +192,5 @@ class DMWideResNet(nn.Module):
         out = DMBlockGroup(n, widths[2], 2, self.act, name="layer_1")(out)
         out = DMBlockGroup(n, widths[3], 2, self.act, name="layer_2")(out)
         out = self.act(BatchNormInference(name="batchnorm")(out))
-        out = nn.avg_pool(out, (8, 8), strides=(8, 8))
-        out = out.reshape(out.shape[0], -1)
+        out = jnp.mean(out, axis=(1, 2))
         return nn.Dense(self.num_classes, name="logits")(out)

@@ -1,0 +1,174 @@
+"""Dataset loading: CIFAR-10 / ImageNet / CelebA-HQ evaluation subsets.
+
+TPU rebuild of the reference data layer (ref data/datasets.py + utils.py:
+256-289): fixed `num_sub` evaluation subsets drawn with
+np.random.RandomState(data_seed).choice(N, num_sub, replace=False) —
+bit-identical index selection to the reference protocol
+(ref datasets.py:319,333) so results are comparable run-to-run.
+
+Filesystem-only (zero-egress environment): CIFAR-10 reads the standard
+python-pickle batches; ImageNet reads a class-per-directory val folder
+(the LMDB cache of the reference is an on-disk speedup, not a format —
+a loader for it can consume the same keys); CelebA-HQ reads images/ +
+list_attr_celeba.txt + list_eval_partition.txt exactly like the reference
+make_table (ref datasets.py:110-129). All outputs are NHWC float32 in [0,1].
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# transforms
+# --------------------------------------------------------------------------
+
+def _to_float01(img_u8: np.ndarray) -> np.ndarray:
+    return img_u8.astype(np.float32) / 255.0
+
+
+def imval_transform(img, base_size: int = 224) -> np.ndarray:
+    """Resize(256)+CenterCrop(base_size) like torchvision 'imval'
+    (ref datasets.py:189-254). img: PIL.Image. Returns HWC float [0,1]."""
+    from PIL import Image
+    w, h = img.size
+    scale = 256 / min(w, h)
+    img = img.resize((max(int(round(w * scale)), 256),
+                      max(int(round(h * scale)), 256)), Image.BILINEAR)
+    w, h = img.size
+    left = (w - base_size) // 2
+    top = (h - base_size) // 2
+    img = img.crop((left, top, left + base_size, top + base_size))
+    return _to_float01(np.asarray(img.convert("RGB")))
+
+
+# --------------------------------------------------------------------------
+# CIFAR-10
+# --------------------------------------------------------------------------
+
+def _load_cifar10_test(root: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read the standard cifar-10-batches-py test batch."""
+    path = os.path.join(root, "cifar-10-batches-py", "test_batch")
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    y = np.asarray(d[b"labels"], dtype=np.int32)
+    return _to_float01(x), y
+
+
+def cifar10_subset(root: str = "./dataset", num_sub: int = -1,
+                   data_seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """ref datasets.py:329-336 (same RandomState subset indices)."""
+    x, y = _load_cifar10_test(root)
+    if num_sub > 0:
+        idx = np.random.RandomState(data_seed).choice(len(x), num_sub,
+                                                      replace=False)
+        x, y = x[idx], y[idx]
+    return x, y
+
+
+# --------------------------------------------------------------------------
+# ImageNet
+# --------------------------------------------------------------------------
+
+def imagenet_val_subset(root: str, num_sub: int = -1, data_seed: int = 0,
+                        base_size: int = 224
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-per-directory val folder -> (x, y), reference subset protocol
+    (ref datasets.py:311-326). Class index = sorted(dirnames) position,
+    matching torchvision ImageFolder."""
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    samples = []
+    for ci, c in enumerate(classes):
+        cdir = os.path.join(root, c)
+        for fname in sorted(os.listdir(cdir)):
+            samples.append((os.path.join(cdir, fname), ci))
+    if num_sub > 0:
+        idx = np.random.RandomState(data_seed).choice(len(samples), num_sub,
+                                                      replace=False)
+        samples = [samples[i] for i in idx]
+    from PIL import Image
+    xs, ys = [], []
+    for path, ci in samples:
+        with Image.open(path) as img:
+            xs.append(imval_transform(img, base_size))
+        ys.append(ci)
+    return np.stack(xs), np.asarray(ys, dtype=np.int32)
+
+
+# --------------------------------------------------------------------------
+# CelebA-HQ
+# --------------------------------------------------------------------------
+
+def _celebahq_table(root: str):
+    """ref datasets.py:110-129 (make_table) without pandas."""
+    filenames = sorted(os.listdir(os.path.join(root, "images")))
+    celebahq = [f.replace("png", "jpg") if f.endswith("png") else f
+                for f in filenames]
+
+    attr_path = os.path.join(root, "list_attr_celeba.txt")
+    with open(attr_path) as f:
+        lines = f.read().splitlines()
+    attr_names = lines[1].split()
+    attr_rows = {}
+    for line in lines[2:]:
+        parts = line.split()
+        attr_rows[parts[0]] = np.array([int(v) for v in parts[1:]])
+
+    partitions = {}
+    with open(os.path.join(root, "list_eval_partition.txt")) as f:
+        for line in f:
+            fname, part = line.strip().split(" ")
+            partitions[fname] = int(part)
+
+    attrs = np.stack([np.maximum(attr_rows[f], 0) for f in celebahq])
+    parts = np.array([partitions[f] for f in celebahq])
+    return filenames, attr_names, attrs, parts
+
+
+def celebahq_subset(root: str, attribute: str, partition: str = "val",
+                    fraction: Optional[float] = 2.0, data_seed: int = 1,
+                    base_size: int = 256
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """ref datasets.py:133-186 (CelebAHQDataset with fraction subsetting)."""
+    filenames, attr_names, attrs, parts = _celebahq_table(root)
+    part_to_int = dict(train=0, val=1, test=2)
+    partition_idx = np.where(parts == part_to_int[partition])[0]
+    if fraction is not None:
+        new_length = int(fraction / 100 * len(partition_idx))
+        rng = np.random.RandomState(data_seed)
+        partition_idx = rng.choice(partition_idx, new_length, replace=False)
+
+    ai = attr_names.index(attribute)
+    from PIL import Image
+    xs, ys = [], []
+    for i in partition_idx:
+        path = os.path.join(root, "images", filenames[i])
+        with Image.open(path) as img:
+            img = img.convert("RGB").resize((base_size, base_size),
+                                            Image.BILINEAR)
+            xs.append(_to_float01(np.asarray(img)))
+        ys.append(int(attrs[i, ai]))
+    return np.stack(xs), np.asarray(ys, dtype=np.int32)
+
+
+def load_data(domain: str, num_sub: int, data_seed: int,
+              root: str = "./dataset", classifier_name: str = "",
+              adv_batch_size: int = 64):
+    """Domain dispatch (ref utils.py:256-289). Returns NHWC [0,1] x, y."""
+    if "imagenet" in domain:
+        return imagenet_val_subset(os.path.join(root, "imagenet", "val"),
+                                   num_sub=num_sub, data_seed=data_seed)
+    if "cifar10" in domain:
+        return cifar10_subset(root, num_sub=num_sub, data_seed=data_seed)
+    if "celebahq" in domain:
+        attribute = classifier_name.split("__")[-1]
+        x, y = celebahq_subset(os.path.join(root, "celebahq"), attribute,
+                               partition="val", fraction=2.0,
+                               data_seed=data_seed)
+        return x[:adv_batch_size], y[:adv_batch_size]
+    raise NotImplementedError(f"unknown domain {domain}")
