@@ -166,6 +166,7 @@ class AttnBlockpp(nn.Module):
     """NCSN++ channel-wise self-attention block (ref layerspp.py:62-91)."""
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -278,6 +279,7 @@ class ResnetBlockDDPMpp(nn.Module):
     skip_rescale: bool = False
     init_scale: float = 0.0
     act: Callable = nn.swish
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -286,17 +288,18 @@ class ResnetBlockDDPMpp(nn.Module):
         out_ch = self.out_ch or in_ch
         h = self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
                                     name="GroupNorm_0")(x))
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
         if temb is not None:
-            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(),
+            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(), dtype=self.dtype,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
                                     name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                    dtype=self.dtype)(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = conv3x3(out_ch, name="Conv_2")(x)
+                x = conv3x3(out_ch, name="Conv_2", dtype=self.dtype)(x)
             else:
                 x = NIN(out_ch, name="NIN_0")(x)
         if not self.skip_rescale:
@@ -316,6 +319,7 @@ class ResnetBlockBigGANpp(nn.Module):
     skip_rescale: bool = True
     init_scale: float = 0.0
     act: Callable = nn.swish
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -338,16 +342,17 @@ class ResnetBlockBigGANpp(nn.Module):
             else:
                 h = naive_downsample_2d(h, factor=2)
                 x = naive_downsample_2d(x, factor=2)
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
         if temb is not None:
-            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(),
+            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(), dtype=self.dtype,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
                                     name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                    dtype=self.dtype)(h)
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="Conv_2")(x)
+            x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
         if not self.skip_rescale:
             return x + h
         return (x + h) / np.sqrt(2.0)

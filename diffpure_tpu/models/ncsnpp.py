@@ -89,12 +89,13 @@ class NCSNpp(nn.Module):
                 return ResnetBlockDDPMpp(
                     out_ch=out_ch, dropout=self.dropout,
                     init_scale=self.init_scale,
-                    skip_rescale=self.skip_rescale, act=act, name=name)
+                    skip_rescale=self.skip_rescale, act=act,
+                    dtype=self.dtype, name=name)
             return ResnetBlockBigGANpp(
                 out_ch=out_ch, up=up, down=down, dropout=self.dropout,
                 fir=self.fir, fir_kernel=self.fir_kernel,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
-                act=act, name=name)
+                act=act, dtype=self.dtype, name=name)
 
         m_idx = 0
 
@@ -130,9 +131,17 @@ class NCSNpp(nn.Module):
         if not self.centered:
             x = 2 * x - 1.0
 
+        # bf16 torso: activations in compute dtype, temb too; GroupNorm stats
+        # and softmax stay fp32 inside the ops; output head back in fp32.
+        input_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            if temb is not None:
+                temb = temb.astype(self.dtype)
+
         # --- downsampling trunk (ref ncsnpp.py:263-303) ----------------------
         input_pyramid = x if self.progressive_input != "none" else None
-        hs = [conv3x3(nf, name=next_name())(x)]
+        hs = [conv3x3(nf, name=next_name(), dtype=self.dtype)(x)]
         in_ch = nf
         for i_level in range(num_resolutions):
             for i_block in range(self.num_res_blocks):
@@ -251,10 +260,12 @@ class NCSNpp(nn.Module):
         if self.progressive == "output_skip":
             h = pyramid
         else:
+            h = h.astype(input_dtype)
             h = act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
                                    name=next_name())(h))
             h = conv3x3(self.num_channels, init_scale=self.init_scale,
                         name=next_name())(h)
+        h = h.astype(input_dtype)
 
         if self.scale_by_sigma:
             used_sigmas = used_sigmas.reshape(
