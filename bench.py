@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 REFERENCE_IMGS_PER_SEC_V100 = 10.0
 
-BATCH = 64
+BATCH = 128
 T_STAR = 100
 
 
@@ -28,7 +28,8 @@ def main():
     from diffpure_tpu.models.ncsnpp import NCSNpp
     from diffpure_tpu.purify import PurifyConfig, purify
 
-    model = NCSNpp()
+    import jax.numpy as _jnp
+    model = NCSNpp(dtype=_jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     x_img = jax.random.uniform(key, (BATCH, 32, 32, 3)) * 2 - 1
     params = model.init(jax.random.fold_in(key, 1),
@@ -60,7 +61,7 @@ def main():
     print(json.dumps({
         "metric": "purified_images_per_sec_per_chip",
         "value": round(imgs_per_sec_chip, 3),
-        "unit": f"img/s/chip (CIFAR-10 NCSN++ t*={T_STAR}, batch {BATCH})",
+        "unit": f"img/s/chip (CIFAR-10 NCSN++ bf16 t*={T_STAR}, batch {BATCH})",
         "vs_baseline": round(imgs_per_sec_chip / REFERENCE_IMGS_PER_SEC_V100,
                              3),
     }))

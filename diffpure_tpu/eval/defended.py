@@ -77,3 +77,24 @@ class DefendedModel:
     def reset_counter(self):
         self._counter = 0
         self._t0 = None
+
+
+@dataclasses.dataclass
+class UndefendedModel:
+    """Classifier-only 3-mode wrapper: purify == identity.
+
+    The BPDA driver's undefended baseline (ResNet_Adv_Model,
+    ref eval_sde_adv_bpda.py:31-50).
+    """
+
+    classifier_fn: Callable
+    classifier_params: object
+
+    def purify(self, x01: Array, key: Array) -> Array:
+        return x01
+
+    def classify(self, x01: Array) -> Array:
+        return self.classifier_fn(self.classifier_params, x01)
+
+    def __call__(self, x01: Array, key: Array) -> Array:
+        return self.classify(x01)

@@ -18,6 +18,7 @@ for unpickling actual .pt files (load_torch_state_dict).
 """
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Mapping, Tuple
 
@@ -229,6 +230,32 @@ def load_guided_diffusion_checkpoint(path: str) -> Dict:
 
 def load_sdedit_checkpoint(path: str) -> Dict:
     return translate_ddpm(load_torch_state_dict(path))
+
+
+def cached_translate(path: str, translate_fn, cache_dir: str = ".ckpt_cache"
+                     ) -> Dict:
+    """Translate once, orbax-cache the flax pytree for fast reloads.
+
+    Torch unpickling + key rewrites of the 552M ADM checkpoint cost tens of
+    seconds; the orbax copy restores in ~1s and is the natural on-disk
+    format for sharded multi-host loading (replaces the reference's
+    rank-0 byte broadcast, ref dist_util.py:63-83).
+    """
+    import hashlib
+    import orbax.checkpoint as ocp
+
+    tag = hashlib.sha1(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}".encode()
+    ).hexdigest()[:16]
+    cache_path = os.path.abspath(os.path.join(cache_dir, tag))
+    if os.path.exists(cache_path):
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(cache_path)
+    params = translate_fn(path)
+    os.makedirs(cache_dir, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(cache_path, params)
+    return params
 
 
 def assert_tree_shapes_match(translated: Dict, init_shapes: Dict,

@@ -1,0 +1,80 @@
+"""Profiling and NFE accounting.
+
+TPU equivalent of the reference's hand-rolled counters (ref
+eval_sde_adv.py:57-91 — purifier-invocation counter + wall-clock prints,
+SURVEY.md §5.1): a jax.profiler trace context, phase timers, and an NFE
+(number-of-function-evaluations) ledger that lives in the integrator layer
+where it belongs.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, Optional
+
+import jax
+
+
+class NFECounter:
+    """Counts score-model evaluations per phase.
+
+    The solvers have statically known NFE (n_steps x evals-per-step), so
+    counting is bookkeeping, not host callbacks — register each solve.
+    """
+
+    def __init__(self):
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    def add(self, phase: str, nfe: int) -> None:
+        self.counts[phase] += nfe
+
+    def total(self) -> int:
+        return sum(self.counts.values())
+
+    def report(self) -> str:
+        parts = [f"{k}={v}" for k, v in sorted(self.counts.items())]
+        return f"NFE total={self.total()} ({', '.join(parts)})"
+
+
+class PhaseTimer:
+    """Wall-clock per phase (the 'sampling time per batch' metric,
+    ref eval_sde_adv.py:84-87)."""
+
+    def __init__(self):
+        self.times: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.times[name] += time.time() - t0
+            self.counts[name] += 1
+
+    def mean(self, name: str) -> float:
+        return self.times[name] / max(self.counts[name], 1)
+
+    def report(self) -> str:
+        return ", ".join(f"{k}: {self.times[k]:.2f}s/{self.counts[k]}x"
+                         for k in sorted(self.times))
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str] = None) -> Iterator[None]:
+    """jax.profiler trace context; view with TensorBoard/XProf."""
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside traced computations."""
+    return jax.profiler.TraceAnnotation(name)
