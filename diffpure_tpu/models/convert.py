@@ -215,6 +215,38 @@ def translate_ddpm(sd: Mapping[str, np.ndarray]) -> Dict:
     return {"params": _nest(flat)}
 
 
+def translate_ncsnv2(sd: Mapping[str, np.ndarray]) -> Dict:
+    """NCSNv2/NCSN family: digit-run merge plus the norm-zoo leaves
+    (alpha/gamma/beta params, conditional `embed.weight` kept untransposed)."""
+    sd = to_numpy_state_dict(strip_module_prefix(sd))
+    flat = {}
+    for k, v in sd.items():
+        if k == "sigmas":
+            continue
+        parts = k.split(".")
+        leaf = parts[-1]
+        mods = parts[:-1]
+        merged = []
+        i = 0
+        while i < len(mods):
+            name = mods[i]
+            i += 1
+            while i < len(mods) and mods[i].isdigit():
+                name += "_" + mods[i]
+                i += 1
+            merged.append(name)
+        path = "/".join(merged)
+        if merged and merged[-1] == "embed" and leaf == "weight":
+            flat[f"{path}/embedding"] = v
+            continue
+        if leaf in ("alpha", "gamma", "beta"):
+            flat[f"{path}/{leaf}"] = v
+            continue
+        new_leaf, arr = _leaf(leaf, v)
+        flat[(path + "/" if path else "") + new_leaf] = arr
+    return {"params": _nest(flat)}
+
+
 def load_score_sde_checkpoint(path: str) -> Dict:
     """Full score_sde flow: load, apply EMA, translate
     (ref runners/diffpure_sde.py:160-190)."""

@@ -62,6 +62,33 @@ def add_reference_path():
         sys.path.insert(0, REFERENCE)
 
 
+def patch_ncsn_conv_bias_bug():
+    """The reference's ncsn_conv3x3/1x1 crash when bias=False
+    (layers.py:44-51,109-116 scale `conv.bias.data` unconditionally) —
+    NCSNv2 is dead vendored code there. Guard it so the oracle builds."""
+    _patch_cpp_extension()
+    add_reference_path()
+    import torch.nn as tnn
+    from score_sde.models import layers as ref_layers
+
+    def ncsn_conv3x3(in_planes, out_planes, stride=1, bias=True, dilation=1,
+                     init_scale=1.0, padding=1):
+        init_scale = 1e-10 if init_scale == 0 else init_scale
+        # second reference bug: dilated convs keep padding=1 and shrink the
+        # feature map, breaking the residual adds; the original NCSNv2
+        # (ermongroup/ncsnv2) pads by the dilation — restore that intent.
+        if dilation > 1 and padding == 1:
+            padding = dilation
+        conv = tnn.Conv2d(in_planes, out_planes, stride=stride, bias=bias,
+                          dilation=dilation, padding=padding, kernel_size=3)
+        conv.weight.data *= init_scale
+        if conv.bias is not None:
+            conv.bias.data *= init_scale
+        return conv
+
+    ref_layers.ncsn_conv3x3 = ncsn_conv3x3
+
+
 def load_reference_ncsnpp(config):
     """Instantiate reference NCSNpp (eval mode) on CPU."""
     _patch_cpp_extension()
