@@ -38,6 +38,7 @@ class DefendedModel:
     resize_to: Optional[int] = None  # ImageNet: classifier res 224, purify 256
     log_every: int = 5
     tag: str = "defended"
+    debug_dir: Optional[str] = None  # dump PNGs for first batches
 
     def __post_init__(self):
         self._counter = 0
@@ -55,6 +56,10 @@ class DefendedModel:
         x = (x - 0.5) * 2.0  # [0,1] -> [-1,1] (ref eval_sde_adv.py:78)
         x_pure = purify(self.score_model_fn, self.score_params, x, key,
                         self.purify_cfg)
+        if self.debug_dir is not None and self._counter < 2:
+            from diffpure_tpu.utils.images import dump_purification_debug
+            dump_purification_debug(self.debug_dir, self._counter, self.tag,
+                                    x_input=x, x_purified=x_pure)
         return (x_pure + 1.0) * 0.5
 
     def classify(self, x01: Array) -> Array:

@@ -292,6 +292,143 @@ class ADMUNet(nn.Module):
                        kernel_init=zero_init(), name="out_2")(h)
 
 
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (ref unet.py:30-60)."""
+    spacial_dim: int
+    embed_dim: int
+    num_heads_channels: int
+    output_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        N, H, W, C = x.shape
+        h = x.reshape(N, H * W, C)
+        h = jnp.concatenate([h.mean(axis=1, keepdims=True), h], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            lambda k, s: jax.random.normal(k, s) / (self.embed_dim ** 0.5),
+            (self.spacial_dim ** 2 + 1, self.embed_dim))
+        h = h + pos[None].astype(h.dtype)
+        qkv = nn.Dense(3 * C, name="qkv_proj")(h)
+        a = qkv_attention(qkv, C // self.num_heads_channels, order="new")
+        a = nn.Dense(self.output_dim or C, name="c_proj")(a)
+        return a[:, 0]
+
+
+class SuperResADM(ADMUNet):
+    """Super-resolution variant: conditions on an upsampled low-res image
+    (ref unet.py:674-690). in_channels doubles internally."""
+
+    @nn.compact
+    def __call__(self, x: Array, timesteps: Array,
+                 low_res: Optional[Array] = None,
+                 y: Optional[Array] = None, *, train: bool = False) -> Array:
+        N, H, W, C = x.shape
+        upsampled = jax.image.resize(low_res, (low_res.shape[0], H, W, C),
+                                     "bilinear")
+        x = jnp.concatenate([x, upsampled], axis=-1)
+        return ADMUNet.__call__(self, x, timesteps, y=y, train=train)
+
+
+class EncoderUNetADM(nn.Module):
+    """Half-UNet encoder with pooled output head — the guidance classifier
+    (ref unet.py:691-880)."""
+
+    image_size: int = 256
+    in_channels: int = 3
+    model_channels: int = 128
+    out_channels: int = 1000
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (8, 16, 32)
+    dropout: float = 0.0
+    channel_mult: Tuple[float, ...] = (1, 1, 2, 2, 4, 4)
+    conv_resample: bool = True
+    num_heads: int = 1
+    num_head_channels: int = 64
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    use_new_attention_order: bool = False
+    pool: str = "attention"  # 'adaptive' | 'attention' | 'spatial'
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, timesteps: Array, *,
+                 train: bool = False) -> Array:
+        time_embed_dim = self.model_channels * 4
+        emb = adm_timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(time_embed_dim, name="time_embed_0")(emb)
+        emb = nn.Dense(time_embed_dim, name="time_embed_2")(nn.swish(emb))
+
+        def resblock(name, ch_out, down=False):
+            return ResBlockADM(out_channels=ch_out,
+                               emb_channels=time_embed_dim,
+                               dropout=self.dropout,
+                               use_scale_shift_norm=self.use_scale_shift_norm,
+                               down=down, dtype=self.dtype, name=name)
+
+        input_dtype = x.dtype
+        h = x.astype(self.dtype or x.dtype)
+        ch = int(self.channel_mult[0] * self.model_channels)
+        h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="input_blocks_0_0")(h)
+        ds = 1
+        block_i = 1
+        results = []
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                ch = int(mult * self.model_channels)
+                h = resblock(f"input_blocks_{block_i}_0", ch)(h, emb,
+                                                              train=train)
+                if ds in self.attention_resolutions:
+                    h = AttentionBlockADM(
+                        num_heads=self.num_heads,
+                        num_head_channels=self.num_head_channels,
+                        use_new_attention_order=self.use_new_attention_order,
+                        dtype=self.dtype,
+                        name=f"input_blocks_{block_i}_1")(h)
+                if self.pool == "spatial":
+                    results.append(h.astype(input_dtype).mean(axis=(1, 2)))
+                block_i += 1
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = resblock(f"input_blocks_{block_i}_0", ch,
+                                 down=True)(h, emb, train=train)
+                else:
+                    h = DownsampleADM(ch, self.conv_resample,
+                                      dtype=self.dtype,
+                                      name=f"input_blocks_{block_i}_0")(h)
+                ds *= 2
+                block_i += 1
+
+        h = resblock("middle_block_0", ch)(h, emb, train=train)
+        h = AttentionBlockADM(num_heads=self.num_heads,
+                              num_head_channels=self.num_head_channels,
+                              use_new_attention_order=self.use_new_attention_order,
+                              dtype=self.dtype, name="middle_block_1")(h)
+        h = resblock("middle_block_2", ch)(h, emb, train=train)
+
+        if self.pool == "adaptive":
+            h = h.astype(input_dtype)
+            h = nn.swish(GroupNorm32(name="out_0")(h))
+            h = h.mean(axis=(1, 2), keepdims=True)
+            h = nn.Conv(self.out_channels, (1, 1), kernel_init=zero_init(),
+                        name="out_2")(h)
+            return h.reshape(h.shape[0], -1)
+        if self.pool == "attention":
+            h = h.astype(input_dtype)
+            h = nn.swish(GroupNorm32(name="out_0")(h))
+            return AttentionPool2d(
+                spacial_dim=self.image_size // ds, embed_dim=ch,
+                num_heads_channels=self.num_head_channels,
+                output_dim=self.out_channels, name="out_2")(h)
+        if self.pool == "spatial":
+            results.append(h.astype(input_dtype).mean(axis=(1, 2)))
+            h = jnp.concatenate(results, axis=-1)
+            h = nn.relu(nn.Dense(2048, name="out_0")(h))
+            return nn.Dense(self.out_channels, name="out_2")(h)
+        raise NotImplementedError(self.pool)
+
+
 def imagenet256_config(use_bf16: bool = True) -> dict:
     """ADM hyperparameters for the 256x256_diffusion_uncond checkpoint.
 

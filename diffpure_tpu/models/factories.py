@@ -128,6 +128,84 @@ def create_gaussian_diffusion(*, steps: int = 1000, learn_sigma: bool = False,
         rescale_timesteps=rescale_timesteps)
 
 
+def classifier_defaults() -> dict:
+    """ref script_util.py:27-42."""
+    return dict(
+        image_size=64,
+        classifier_use_fp16=False,
+        classifier_width=128,
+        classifier_depth=2,
+        classifier_attention_resolutions="32,16,8",
+        classifier_use_scale_shift_norm=True,
+        classifier_resblock_updown=True,
+        classifier_pool="attention",
+    )
+
+
+def create_classifier(image_size: int, classifier_use_fp16: bool,
+                      classifier_width: int, classifier_depth: int,
+                      classifier_attention_resolutions: str,
+                      classifier_use_scale_shift_norm: bool,
+                      classifier_resblock_updown: bool,
+                      classifier_pool: str):
+    """Guidance classifier (ref script_util.py:236-275)."""
+    from diffpure_tpu.models.adm_unet import EncoderUNetADM
+    mult = channel_mult_for_image_size(image_size)
+    attention_ds = tuple(image_size // int(res) for res in
+                         classifier_attention_resolutions.split(","))
+    return EncoderUNetADM(
+        image_size=image_size, in_channels=3,
+        model_channels=classifier_width, out_channels=1000,
+        num_res_blocks=classifier_depth,
+        attention_resolutions=attention_ds, channel_mult=mult,
+        num_head_channels=64,
+        use_scale_shift_norm=classifier_use_scale_shift_norm,
+        resblock_updown=classifier_resblock_updown, pool=classifier_pool,
+        dtype=jnp.bfloat16 if classifier_use_fp16 else None)
+
+
+def create_classifier_and_diffusion(**kwargs):
+    """ref script_util.py:195-233."""
+    cls_keys = classifier_defaults()
+    classifier = create_classifier(
+        **{k: kwargs.get(k, v) for k, v in cls_keys.items()})
+    diffusion = create_gaussian_diffusion(
+        steps=kwargs.get("diffusion_steps", 1000),
+        learn_sigma=kwargs.get("learn_sigma", False),
+        noise_schedule=kwargs.get("noise_schedule", "linear"),
+        use_kl=kwargs.get("use_kl", False),
+        predict_xstart=kwargs.get("predict_xstart", False),
+        rescale_timesteps=kwargs.get("rescale_timesteps", False),
+        timestep_respacing=kwargs.get("timestep_respacing", ""))
+    return classifier, diffusion
+
+
+def sr_create_model(large_size: int, small_size: int, **kwargs):
+    """Super-resolution model factory (ref script_util.py:278-340)."""
+    from diffpure_tpu.models.adm_unet import SuperResADM
+    d = model_and_diffusion_defaults()
+    d.update({k: v for k, v in kwargs.items() if k in d})
+    if large_size == 512 or large_size == 256:
+        mult = (1, 1, 2, 2, 4, 4)
+    elif large_size == 64:
+        mult = (1, 2, 3, 4)
+    else:
+        raise ValueError(f"unsupported large size: {large_size}")
+    attention_ds = tuple(large_size // int(res) for res in
+                         d["attention_resolutions"].split(","))
+    return SuperResADM(
+        image_size=large_size, in_channels=6,
+        model_channels=d["num_channels"],
+        out_channels=(6 if d["learn_sigma"] else 3),
+        num_res_blocks=d["num_res_blocks"],
+        attention_resolutions=attention_ds, dropout=d["dropout"],
+        channel_mult=mult, num_heads=d["num_heads"],
+        num_head_channels=d["num_head_channels"],
+        use_scale_shift_norm=d["use_scale_shift_norm"],
+        resblock_updown=d["resblock_updown"],
+        dtype=jnp.bfloat16 if d["use_fp16"] else None)
+
+
 def create_model_and_diffusion(config: dict):
     """ref script_util.py:82-136: defaults merged with a config dict
     (the YAML `model:` section, ref runners/diffpure_sde.py:163-164)."""
