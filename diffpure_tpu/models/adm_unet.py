@@ -115,11 +115,14 @@ class AttentionBlockADM(nn.Module):
     """Spatial self-attention (ref unet.py:267-333).
 
     The reference's 1x1 conv1d qkv/proj become Dense layers on the channel
-    axis (translated from torch (out,in,1) weights).
+    axis (translated from torch (out,in,1) weights). With use_flash the
+    4096-token blocks run the blockwise Pallas kernel
+    (ops/flash_attention.py) instead of materializing the score matrix.
     """
     num_heads: int = 1
     num_head_channels: int = -1
     use_new_attention_order: bool = False
+    use_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -133,9 +136,12 @@ class AttentionBlockADM(nn.Module):
         h = x.reshape(N, H * W, C)
         h_norm = GroupNorm32(name="norm")(h)
         qkv = nn.Dense(C * 3, dtype=self.dtype, name="qkv")(h_norm)
-        a = qkv_attention(qkv, heads,
-                          order="new" if self.use_new_attention_order
-                          else "legacy")
+        order = "new" if self.use_new_attention_order else "legacy"
+        if self.use_flash and (H * W) >= 1024:
+            from diffpure_tpu.ops.flash_attention import qkv_flash_attention
+            a = qkv_flash_attention(qkv, heads, order=order)
+        else:
+            a = qkv_attention(qkv, heads, order=order)
         a = nn.Dense(C, kernel_init=zero_init(), dtype=self.dtype,
                      name="proj_out")(a)
         return (h + a).reshape(N, H, W, C)
@@ -193,6 +199,7 @@ class ADMUNet(nn.Module):
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
     use_new_attention_order: bool = False
+    use_flash: bool = False  # Pallas blockwise attention for T>=1024
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 torso)
 
     @nn.compact
@@ -221,7 +228,7 @@ class ADMUNet(nn.Module):
             return AttentionBlockADM(
                 num_heads=heads, num_head_channels=self.num_head_channels,
                 use_new_attention_order=self.use_new_attention_order,
-                dtype=self.dtype, name=name)
+                use_flash=self.use_flash, dtype=self.dtype, name=name)
 
         input_dtype = x.dtype
         h = x.astype(self.dtype or x.dtype)

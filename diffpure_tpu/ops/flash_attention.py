@@ -1,0 +1,115 @@
+"""Blockwise (flash-style) attention Pallas kernel.
+
+For the ADM UNet's 64x64 = 4096-token attention blocks at 256x256 inputs,
+materializing the (T, T) score matrix costs 4096^2 x heads x batch floats of
+HBM traffic per block. This kernel keeps the online-softmax running state
+(m, l, acc) in VMEM and never writes the score matrix — a memory
+optimization, not a parallelism one (SURVEY.md §5.7: no cross-chip
+attention sharding is warranted at these sizes).
+
+Layout: q, k, v are (BH, T, D) — batch*heads flattened into the grid's
+first axis; D = head channels (64 for ADM -> padded to 128 lanes by Mosaic).
+The softmax accumulates in fp32 regardless of input dtype (matches
+ops/attention.py semantics, ref unet.py:358).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    # q_ref: (1, block_q, D); k_ref/v_ref: (1, T, D); o_ref: (1, block_q, D)
+    q = q_ref[0].astype(jnp.float32) * scale
+    T = k_ref.shape[1]
+    D = q.shape[1]
+    block_q = q.shape[0]
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk * scale,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, T // block_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention(q: Array, k: Array, v: Array, scale: float,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False) -> Array:
+    """softmax(q kᵀ · scale²) v without materializing the score matrix.
+
+    q, k, v: (BH, T, D). `scale` is applied to BOTH q and k (the ADM
+    1/sqrt(sqrt(ch)) convention, ref unet.py:354-357).
+    """
+    BH, T, D = q.shape
+    block_q = min(block_q, T)
+    block_k = min(block_k, T)
+    assert T % block_q == 0 and T % block_k == 0, (T, block_q, block_k)
+
+    grid = (BH, T // block_q)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def qkv_flash_attention(qkv: Array, n_heads: int, order: str = "legacy",
+                        interpret: bool = False) -> Array:
+    """Drop-in for ops.attention.qkv_attention using the flash kernel.
+
+    qkv: (B, T, 3*H*ch) packed as in the ADM checkpoints.
+    """
+    B, T, width = qkv.shape
+    ch = width // (3 * n_heads)
+    if order == "legacy":
+        qkv_r = qkv.reshape(B, T, n_heads, 3 * ch)
+        q, k, v = jnp.split(qkv_r, 3, axis=-1)
+    elif order == "new":
+        qkv_r = qkv.reshape(B, T, 3, n_heads, ch)
+        q, k, v = qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2]
+    else:
+        raise ValueError(order)
+    # (B, T, H, ch) -> (B*H, T, ch)
+    to_bh = lambda t: t.transpose(0, 2, 1, 3).reshape(B * n_heads, T, ch)
+    scale = 1.0 / (ch ** 0.25)
+    out = flash_attention(to_bh(q), to_bh(k), to_bh(v), scale,
+                          interpret=interpret)
+    out = out.reshape(B, n_heads, T, ch).transpose(0, 2, 1, 3)
+    return out.reshape(B, T, n_heads * ch)
