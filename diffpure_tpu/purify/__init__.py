@@ -4,11 +4,12 @@ from diffpure_tpu.purify.runners import (
     purify_sde,
     purify_ode,
     purify_ldsde,
+    purify_dpm,
     purify_guided_ddpm,
     purify_celebahq_ddpm,
 )
 
 __all__ = [
-    "PurifyConfig", "purify", "purify_sde", "purify_ode", "purify_ldsde",
+    "PurifyConfig", "purify", "purify_sde", "purify_ode", "purify_ldsde", "purify_dpm",
     "purify_guided_ddpm", "purify_celebahq_ddpm",
 ]

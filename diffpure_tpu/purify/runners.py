@@ -203,6 +203,50 @@ def purify_ldsde(model_fn: ModelFn, params, x: Array, key: Array,
     return jnp.concatenate(xs, axis=0)
 
 
+def _make_eps_fn(model_fn: ModelFn, params, cfg: PurifyConfig):
+    """Epsilon-prediction adapter (for the exponential-integrator solvers)."""
+    if cfg.score_type == "guided_diffusion":
+        def eps_fn(x, t):
+            disc_steps = (t * cfg.N).astype(jnp.int32)
+            out = model_fn(params, x, disc_steps)
+            if cfg.learn_sigma:
+                out = jnp.split(out, 2, axis=-1)[0]
+            return out
+        return eps_fn
+    if cfg.score_type == "score_sde":
+        def eps_fn(x, t):
+            return model_fn(params, x, t * 999)
+        return eps_fn
+    raise NotImplementedError(cfg.score_type)
+
+
+def purify_dpm(model_fn: ModelFn, params, x: Array, key: Array,
+               cfg: PurifyConfig) -> Array:
+    """Accelerated purification: forward-diffuse to t*, then DPM-Solver++(2M)
+    down to ~0 in cfg.solver_steps() score evals (default t* — pass
+    n_steps=10..20 for the accelerated setting). TPU-native extension beyond
+    the reference's Euler-only solvers; same defense semantics, ~5-10x fewer
+    NFE."""
+    from diffpure_tpu.solvers.dpm import dpm_solver_pp_2m
+    sde = VPSDE(beta_min=cfg.beta_min, beta_max=cfg.beta_max, N=cfg.N)
+    eps_fn = _make_eps_fn(model_fn, params, cfg)
+
+    xs = []
+    x0 = x
+    for it in range(cfg.sample_step):
+        k_t, k_noise = (jax.random.fold_in(key, 2 * it + j) for j in range(2))
+        t_star = _sample_t(k_t, cfg)
+        xt = _forward_diffuse(x0, k_noise, cfg, t_star)
+        n_steps = cfg.solver_steps()
+        x_pure = dpm_solver_pp_2m(eps_fn, xt, cfg.t / 1000.0,
+                                  cfg.epsilon_dt1, n_steps, sde)
+        if cfg.grad_mode == "none":
+            x_pure = jax.lax.stop_gradient(x_pure)
+        x0 = x_pure
+        xs.append(x_pure)
+    return jnp.concatenate(xs, axis=0)
+
+
 def make_imagenet_diffusion(timestep_respacing: str = "1000",
                             rescale_timesteps: bool = True) -> SpacedDiffusion:
     """The guided-diffusion process used for ImageNet purification
@@ -310,6 +354,8 @@ def purify(model_fn: ModelFn, params, x: Array, key: Array,
         return purify_ode(model_fn, params, x, key, cfg)
     if cfg.diffusion_type == "ldsde":
         return purify_ldsde(model_fn, params, x, key, cfg)
+    if cfg.diffusion_type == "dpm":
+        return purify_dpm(model_fn, params, x, key, cfg)
     if cfg.diffusion_type == "ddpm":
         return purify_guided_ddpm(model_fn, params, x, key, cfg, **kwargs)
     if cfg.diffusion_type == "celebahq-ddpm":

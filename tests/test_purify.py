@@ -187,3 +187,38 @@ class TestDiscreteRunners:
         with pytest.raises(NotImplementedError):
             purify(unit_gaussian_score_model, PARAMS,
                    jnp.zeros(SHAPE), key, PurifyConfig(diffusion_type="nope"))
+
+
+class TestDPMRunner:
+    def test_preserves_unit_gaussian_few_steps(self, key):
+        """DPM-Solver++(2M) with 10 evals matches the defense semantics."""
+        cfg = PurifyConfig(diffusion_type="dpm", t=100, n_steps=10)
+        x = jax.random.normal(key, (64, 4, 4, 1))
+        out = purify(unit_gaussian_score_model, PARAMS, x,
+                     jax.random.fold_in(key, 1), cfg)
+        assert out.shape == x.shape
+        m, v = float(jnp.mean(out)), float(jnp.var(out))
+        assert abs(m) < 0.15 and abs(v - 1.0) < 0.35, (m, v)
+
+    def test_matches_euler_ode_on_exact_score(self, key):
+        """High-order solver at 10 steps ~ Euler ODE at 100 steps when the
+        score is exact (same deterministic flow; same forward noise)."""
+        x = jax.random.normal(key, (8, 4, 4, 1)) * 0.7
+        k = jax.random.fold_in(key, 1)
+        cfg_dpm = PurifyConfig(diffusion_type="dpm", t=100, n_steps=10)
+        cfg_ode = PurifyConfig(diffusion_type="ode", t=100, step_size=1e-3)
+        out_dpm = purify(unit_gaussian_score_model, PARAMS, x, k, cfg_dpm)
+        out_ode = purify(unit_gaussian_score_model, PARAMS, x, k, cfg_ode)
+        # same Brownian forward noise => comparable trajectories
+        diff = float(jnp.sqrt(jnp.mean((out_dpm - out_ode) ** 2)))
+        scale = float(jnp.sqrt(jnp.mean(out_ode ** 2)))
+        assert diff < 0.15 * scale + 0.05, (diff, scale)
+
+    def test_grad_flows(self, key):
+        cfg = PurifyConfig(diffusion_type="dpm", t=50, n_steps=8)
+        x = jax.random.normal(key, (2, 4, 4, 1))
+        g = jax.grad(lambda xx: jnp.sum(purify(
+            unit_gaussian_score_model, PARAMS, xx,
+            jax.random.fold_in(key, 1), cfg) ** 2))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
