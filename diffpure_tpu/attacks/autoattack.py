@@ -87,26 +87,36 @@ class AutoAttack:
             return square_attack(self.model_fn, x, y, key, a)
         raise ValueError(name)
 
-    def run_standard_evaluation(self, x: Array, y: Array, key: Array
+    def run_standard_evaluation(self, x: Array, y: Array, key: Array,
+                                bs: Optional[int] = None
                                 ) -> Tuple[Array, Array]:
         """Returns (x_adv, robust_flags). Attacks run sequentially on the
-        still-robust subset (flag protocol of upstream autoattack)."""
+        still-robust subset (flag protocol of upstream autoattack). With
+        `bs`, examples are processed in fixed-size chunks (upstream's
+        minibatching; keeps the attack program at one static shape)."""
         logits = self.model_fn(x, jax.random.fold_in(key, 7))
-        robust = np.asarray(jnp.argmax(logits, -1) == y)
+        robust = np.asarray(jnp.argmax(logits, -1) == y).copy()
         self.log(f"initial accuracy: {robust.mean():.2%}")
         x_adv = np.asarray(x).copy()
+        n = x.shape[0]
+        bs = bs or n
 
         for i, name in enumerate(self.attacks):
             if not robust.any():
                 break
             t0 = time.time()
-            xa, found = self._run_one(name, x, y, jax.random.fold_in(key, i))
-            xa = np.asarray(xa)
-            found = np.asarray(found)
-            # only newly-broken, previously-robust examples update
-            newly = robust & found
-            x_adv[newly] = xa[newly]
-            robust = robust & ~found
+            for start in range(0, n, bs):
+                sl = slice(start, min(start + bs, n))
+                xa, found = self._run_one(
+                    name, x[sl], y[sl],
+                    jax.random.fold_in(key, i * 1000 + start))
+                xa = np.asarray(xa)
+                found = np.asarray(found)
+                newly = robust[sl] & found
+                chunk = x_adv[sl]
+                chunk[newly] = xa[newly]
+                x_adv[sl] = chunk
+                robust[sl] = robust[sl] & ~found
             self.log(f"{name}: robust accuracy {robust.mean():.2%} "
                      f"({time.time() - t0:.1f}s)")
 

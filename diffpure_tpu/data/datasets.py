@@ -158,17 +158,25 @@ def celebahq_subset(root: str, attribute: str, partition: str = "val",
 
 def load_data(domain: str, num_sub: int, data_seed: int,
               root: str = "./dataset", classifier_name: str = "",
-              adv_batch_size: int = 64):
-    """Domain dispatch (ref utils.py:256-289). Returns NHWC [0,1] x, y."""
+              adv_batch_size: int = 64, shard: int = 0, num_shards: int = 1):
+    """Domain dispatch (ref utils.py:256-289). Returns NHWC [0,1] x, y.
+
+    Multi-host: process i of n keeps subset[i::n] — the subset indices are
+    identical on every host (same data_seed RandomState), so the shard split
+    is deterministic without coordination.
+    """
     if "imagenet" in domain:
-        return imagenet_val_subset(os.path.join(root, "imagenet", "val"),
+        x, y = imagenet_val_subset(os.path.join(root, "imagenet", "val"),
                                    num_sub=num_sub, data_seed=data_seed)
+        return x[shard::num_shards], y[shard::num_shards]
     if "cifar10" in domain:
-        return cifar10_subset(root, num_sub=num_sub, data_seed=data_seed)
+        x, y = cifar10_subset(root, num_sub=num_sub, data_seed=data_seed)
+        return x[shard::num_shards], y[shard::num_shards]
     if "celebahq" in domain:
         attribute = classifier_name.split("__")[-1]
         x, y = celebahq_subset(os.path.join(root, "celebahq"), attribute,
                                partition="val", fraction=2.0,
                                data_seed=data_seed)
-        return x[:adv_batch_size], y[:adv_batch_size]
+        x, y = x[:adv_batch_size], y[:adv_batch_size]
+        return x[shard::num_shards], y[shard::num_shards]
     raise NotImplementedError(f"unknown domain {domain}")

@@ -92,22 +92,38 @@ def eval_stadv(defended: DefendedModel, x: Array, y: Array, key: Array,
 
 
 def eval_bpda(defended: DefendedModel, x: Array, y: Array, key: Array,
-              cfg: BPDAEOTConfig, log_dir: Optional[str] = None, log=print):
+              cfg: BPDAEOTConfig, log_dir: Optional[str] = None, log=print,
+              run_baseline: bool = True):
     """ref eval_sde_adv_bpda.py:121-174. Returns accuracies + defended
-    matrix."""
-    purify_fn = defended.purify
-    classify_fn = defended.classify
+    matrix. The undefended classifier is attacked first with the same PGD
+    (ResNet_Adv_Model baseline, ref :129-150)."""
+    results = {}
+
+    if run_baseline:
+        from diffpure_tpu.eval.defended import UndefendedModel
+        base = UndefendedModel(
+            classifier_fn=lambda p, x01: defended.classify(x01),
+            classifier_params=None)
+        t0 = time.time()
+        _, base_matrix = bpda_eot_attack(base.purify, base.classify, x, y,
+                                         jax.random.fold_in(key, 999), cfg)
+        results["classifier_init_acc"] = float(base_matrix[0].mean())
+        results["classifier_robust_acc"] = float(base_matrix[-1].mean())
+        log(f"[clf] init acc: {results['classifier_init_acc']:.2%}, "
+            f"robust acc: {results['classifier_robust_acc']:.2%} "
+            f"({time.time() - t0:.1f}s)")
 
     t0 = time.time()
-    x_adv, class_batch = bpda_eot_attack(purify_fn, classify_fn, x, y, key,
-                                         cfg)
+    x_adv, class_batch = bpda_eot_attack(defended.purify, defended.classify,
+                                         x, y, key, cfg)
     _save(log_dir, "x_adv_bpda.npy", x_adv)
-    init_acc = float(class_batch[0].mean())
-    robust_acc = float(class_batch[-1].mean())
-    log(f"init acc: {init_acc:.2%}, robust acc: {robust_acc:.2%} "
+    results["init_acc"] = float(class_batch[0].mean())
+    results["robust_acc"] = float(class_batch[-1].mean())
+    results["class_batch"] = class_batch
+    log(f"init acc: {results['init_acc']:.2%}, "
+        f"robust acc: {results['robust_acc']:.2%} "
         f"({time.time() - t0:.1f}s)")
-    return {"init_acc": init_acc, "robust_acc": robust_acc,
-            "class_batch": class_batch}
+    return results
 
 
 def robustness_eval(defended: DefendedModel, x: Array, y: Array, key: Array,
