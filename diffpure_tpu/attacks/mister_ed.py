@@ -171,3 +171,24 @@ def carlini_wagner(model_fn: ModelFn, x: Array, y: Array, key: Array,
     (_, _, best_x, _, found), _ = jax.lax.scan(
         body, init, jnp.arange(cfg.num_iterations))
     return best_x, found
+
+
+@dataclasses.dataclass
+class AdversarialAttackParameters:
+    """Attack orchestration wrapper (ref mister_ed/adversarial_training.py:35):
+    binds an attack callable + the proportion of each batch to attack."""
+
+    attack_fn: Callable
+    proportion_attacked: float = 1.0
+
+    def attack(self, x: Array, y: Array, key: Array):
+        """Attack a random proportion of the batch; returns
+        (x_out, y, adv_mask) like the reference's (adv_examples, ...)."""
+        B = x.shape[0]
+        n_attack = max(int(round(self.proportion_attacked * B)), 0)
+        perm = jax.random.permutation(jax.random.fold_in(key, 0), B)
+        chosen = perm[:n_attack]
+        mask = jnp.zeros((B,), bool).at[chosen].set(True)
+        x_adv, _ = self.attack_fn(x, y, jax.random.fold_in(key, 1))
+        x_out = jnp.where(mask[:, None, None, None], x_adv, x)
+        return x_out, y, mask

@@ -20,6 +20,10 @@ class PurifyConfig:
     rand_t: bool = False
     t_delta: int = 15
     sample_step: int = 1
+    # fix_rand: one shared forward-noise tile across the batch
+    # (ref runners/diffpure_ode.py:202-209; the reference's --fix_rand flag
+    # is referenced but never registered — a latent bug fixed here)
+    fix_rand: bool = False
 
     # score adapter (ref --score_type)
     score_type: str = "score_sde"  # score_sde | guided_diffusion

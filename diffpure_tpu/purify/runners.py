@@ -64,10 +64,15 @@ def _make_score_fn(model_fn: ModelFn, params, cfg: PurifyConfig):
 def _forward_diffuse(x0: Array, key: Array, cfg: PurifyConfig,
                      total_noise_levels) -> Array:
     """One-shot forward diffusion to step t* using discrete alpha-bar
-    (ref diffpure_sde.py:217-223)."""
+    (ref diffpure_sde.py:217-223). With fix_rand, one noise tile is shared
+    across the batch (ref diffpure_ode.py:202-209)."""
     sde = VPSDE(beta_min=cfg.beta_min, beta_max=cfg.beta_max, N=cfg.N)
     a = jnp.asarray(sde.alphas_cumprod, dtype=jnp.float32)
-    e = jax.random.normal(key, x0.shape, x0.dtype)
+    if cfg.fix_rand:
+        e1 = jax.random.normal(key, (1,) + x0.shape[1:], x0.dtype)
+        e = jnp.tile(e1, (x0.shape[0],) + (1,) * (x0.ndim - 1))
+    else:
+        e = jax.random.normal(key, x0.shape, x0.dtype)
     abar = a[total_noise_levels - 1]
     return x0 * jnp.sqrt(abar) + e * jnp.sqrt(1.0 - abar)
 
