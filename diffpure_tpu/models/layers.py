@@ -27,9 +27,39 @@ from diffpure_tpu.ops import (
     naive_upsample_2d,
     naive_downsample_2d,
 )
-from diffpure_tpu.ops.groupnorm import ncsn_num_groups
+from diffpure_tpu.ops.groupnorm import group_norm_silu, \
+    group_norm_silu_pallas, ncsn_num_groups
 
 Array = jax.Array
+
+# Fused GroupNorm+SiLU Pallas path (one read+write per feature map).
+# Off by default for bit-parity with the jnp chain; enable with
+# set_fused_gn_silu(True) (bench/serving configs).
+_FUSED_GN_SILU = False
+
+
+def set_fused_gn_silu(enable: bool) -> None:
+    global _FUSED_GN_SILU
+    _FUSED_GN_SILU = enable
+
+
+class GNSiLU(nn.Module):
+    """GroupNorm+SiLU with the same param names as GroupNormTorch, so the
+    fused and unfused paths share checkpoints."""
+    num_groups: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        N, H, W, _ = x.shape
+        fits_vmem = H * W * C * 4 <= 4 * 1024 * 1024
+        if _FUSED_GN_SILU and fits_vmem and jax.default_backend() == "tpu":
+            return group_norm_silu_pallas(x, scale, bias, self.num_groups,
+                                          self.eps)
+        return group_norm_silu(x, scale, bias, self.num_groups, self.eps)
 
 
 def ddpm_init(scale: float = 1.0):
@@ -286,13 +316,17 @@ class ResnetBlockDDPMpp(nn.Module):
                  deterministic: bool = True) -> Array:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
+        h = GNSiLU(ncsn_num_groups(in_ch), eps=1e-6,
+                   name="GroupNorm_0")(x) if self.act is nn.swish else \
+            self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
                                     name="GroupNorm_0")(x))
         h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=ddpm_init(), dtype=self.dtype,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
+        h = GNSiLU(ncsn_num_groups(out_ch), eps=1e-6,
+                   name="GroupNorm_1")(h) if self.act is nn.swish else \
+            self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
                                     name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
@@ -326,7 +360,9 @@ class ResnetBlockBigGANpp(nn.Module):
                  deterministic: bool = True) -> Array:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
+        h = GNSiLU(ncsn_num_groups(in_ch), eps=1e-6,
+                   name="GroupNorm_0")(x) if self.act is nn.swish else \
+            self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
                                     name="GroupNorm_0")(x))
         if self.up:
             if self.fir:
@@ -346,7 +382,9 @@ class ResnetBlockBigGANpp(nn.Module):
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=ddpm_init(), dtype=self.dtype,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
+        h = GNSiLU(ncsn_num_groups(out_ch), eps=1e-6,
+                   name="GroupNorm_1")(h) if self.act is nn.swish else \
+            self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
                                     name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",

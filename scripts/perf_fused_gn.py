@@ -1,0 +1,43 @@
+"""Measure the fused GN+SiLU Pallas kernel inside the full purify scan."""
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench(label, batch=128, t_star=100, n=3):
+    from diffpure_tpu.models.ncsnpp import NCSNpp
+    from diffpure_tpu.purify import PurifyConfig, purify
+
+    key = jax.random.PRNGKey(0)
+    model = NCSNpp(dtype=jnp.bfloat16)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+    cfg = PurifyConfig(diffusion_type="sde", t=t_star,
+                       score_type="score_sde", grad_mode="none")
+    x = jax.random.uniform(key, (batch, 32, 32, 3)) * 2 - 1
+
+    @jax.jit
+    def run(params, xx, k):
+        return jnp.float32(purify(
+            lambda p, a, t: model.apply(p, a, t), params, xx, k, cfg).sum())
+
+    t0 = time.time()
+    float(run(params, x, jax.random.fold_in(key, 2)))
+    c = time.time() - t0
+    t0 = time.time()
+    for i in range(n):
+        float(run(params, x, jax.random.fold_in(key, 3 + i)))
+    dt = (time.time() - t0) / n
+    print(f"[{label}] compile {c:.0f}s  {batch / dt:.1f} img/s/chip  "
+          f"{dt:.2f}s/batch", flush=True)
+
+
+def main():
+    import diffpure_tpu.models.layers as L
+    bench("jnp-GN baseline")
+    L.set_fused_gn_silu(True)
+    bench("pallas fused GN+SiLU")
+
+
+if __name__ == "__main__":
+    main()
