@@ -231,3 +231,27 @@ class TestAttention:
         m = np.asarray(qkv_attention(jnp.asarray(qkv), 1, order="new"))
         np.testing.assert_allclose(s.reshape(B, H * W, C), m, rtol=1e-3,
                                    atol=1e-4)
+
+
+class TestFusedGNSiLU:
+    def test_pallas_matches_jnp(self, rng):
+        from diffpure_tpu.ops.groupnorm import (
+            group_norm_silu, group_norm_silu_pallas,
+        )
+        x = jnp.asarray(rng.randn(3, 8, 8, 128).astype(np.float32))
+        s = jnp.asarray(rng.randn(128).astype(np.float32))
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+        want = np.asarray(group_norm_silu(x, s, b, 32))
+        got = np.asarray(group_norm_silu_pallas(x, s, b, 32, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_gnsilu_module_matches_unfused(self, rng, key):
+        import flax.linen as nn
+        from diffpure_tpu.models.layers import GNSiLU, GroupNormTorch
+        x = jnp.asarray(rng.randn(2, 4, 4, 32).astype(np.float32))
+        m = GNSiLU(8)
+        p = m.init(key, x)
+        got = np.asarray(m.apply(p, x))
+        gn = GroupNormTorch(8)
+        want = np.asarray(nn.swish(gn.apply(p, x)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
