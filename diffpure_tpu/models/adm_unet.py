@@ -69,7 +69,9 @@ class ResBlockADM(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array, emb: Array, *, train: bool = False) -> Array:
+    def __call__(self, x: Array, emb: Array, train: bool = False) -> Array:
+        # `train` is positional-friendly so nn.remat(static_argnums=(2,))
+        # can wrap this block (the use_checkpoint analog, ref unet.py:240).
         in_ch = x.shape[-1]
         conv = lambda feats, name, init=nn.initializers.lecun_normal(): nn.Conv(
             feats, (3, 3), padding="SAME", kernel_init=init, dtype=self.dtype,
@@ -200,6 +202,7 @@ class ADMUNet(nn.Module):
     resblock_updown: bool = True
     use_new_attention_order: bool = False
     use_flash: bool = False  # Pallas blockwise attention for T>=1024
+    use_checkpoint: bool = False  # remat res/attn blocks (ref unet.py:240,305)
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 torso)
 
     @nn.compact
@@ -217,15 +220,20 @@ class ADMUNet(nn.Module):
             emb = emb + nn.Embed(self.num_classes, time_embed_dim,
                                  name="label_emb")(y)
 
+        ResCls = (nn.remat(ResBlockADM, static_argnums=(3,))
+                  if self.use_checkpoint else ResBlockADM)
+        AttnCls = (nn.remat(AttentionBlockADM)
+                   if self.use_checkpoint else AttentionBlockADM)
+
         def resblock(name, ch_out, up=False, down=False):
-            return ResBlockADM(out_channels=ch_out,
-                               emb_channels=time_embed_dim,
-                               dropout=self.dropout,
-                               use_scale_shift_norm=self.use_scale_shift_norm,
-                               up=up, down=down, dtype=self.dtype, name=name)
+            return ResCls(out_channels=ch_out,
+                          emb_channels=time_embed_dim,
+                          dropout=self.dropout,
+                          use_scale_shift_norm=self.use_scale_shift_norm,
+                          up=up, down=down, dtype=self.dtype, name=name)
 
         def attnblock(name, heads):
-            return AttentionBlockADM(
+            return AttnCls(
                 num_heads=heads, num_head_channels=self.num_head_channels,
                 use_new_attention_order=self.use_new_attention_order,
                 use_flash=self.use_flash, dtype=self.dtype, name=name)
@@ -244,7 +252,7 @@ class ADMUNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 ch = int(mult * self.model_channels)
-                h = resblock(f"input_blocks_{block_i}_0", ch)(h, emb, train=train)
+                h = resblock(f"input_blocks_{block_i}_0", ch)(h, emb, train)
                 if ds in self.attention_resolutions:
                     h = attnblock(f"input_blocks_{block_i}_1", self.num_heads)(h)
                 hs.append(h)
@@ -253,7 +261,7 @@ class ADMUNet(nn.Module):
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = resblock(f"input_blocks_{block_i}_0", ch,
-                                 down=True)(h, emb, train=train)
+                                 down=True)(h, emb, train)
                 else:
                     h = DownsampleADM(ch, self.conv_resample, dtype=self.dtype,
                                       name=f"input_blocks_{block_i}_0")(h)
@@ -263,9 +271,9 @@ class ADMUNet(nn.Module):
                 block_i += 1
 
         # --- middle (ref unet.py:548-571) -------------------------------------
-        h = resblock("middle_block_0", ch)(h, emb, train=train)
+        h = resblock("middle_block_0", ch)(h, emb, train)
         h = attnblock("middle_block_1", self.num_heads)(h)
-        h = resblock("middle_block_2", ch)(h, emb, train=train)
+        h = resblock("middle_block_2", ch)(h, emb, train)
 
         # --- output blocks (ref unet.py:573-618) -------------------------------
         block_i = 0
@@ -275,7 +283,7 @@ class ADMUNet(nn.Module):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 ch = int(self.model_channels * mult)
                 h = resblock(f"output_blocks_{block_i}_0", ch)(h, emb,
-                                                               train=train)
+                                                               train)
                 layer_j = 1
                 if ds in self.attention_resolutions:
                     h = attnblock(f"output_blocks_{block_i}_{layer_j}",
@@ -284,7 +292,7 @@ class ADMUNet(nn.Module):
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
                         h = resblock(f"output_blocks_{block_i}_{layer_j}", ch,
-                                     up=True)(h, emb, train=train)
+                                     up=True)(h, emb, train)
                     else:
                         h = UpsampleADM(ch, self.conv_resample,
                                         dtype=self.dtype,
@@ -385,7 +393,7 @@ class EncoderUNetADM(nn.Module):
             for _ in range(self.num_res_blocks):
                 ch = int(mult * self.model_channels)
                 h = resblock(f"input_blocks_{block_i}_0", ch)(h, emb,
-                                                              train=train)
+                                                              train)
                 if ds in self.attention_resolutions:
                     h = AttentionBlockADM(
                         num_heads=self.num_heads,
@@ -399,7 +407,7 @@ class EncoderUNetADM(nn.Module):
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = resblock(f"input_blocks_{block_i}_0", ch,
-                                 down=True)(h, emb, train=train)
+                                 down=True)(h, emb, train)
                 else:
                     h = DownsampleADM(ch, self.conv_resample,
                                       dtype=self.dtype,
@@ -407,12 +415,12 @@ class EncoderUNetADM(nn.Module):
                 ds *= 2
                 block_i += 1
 
-        h = resblock("middle_block_0", ch)(h, emb, train=train)
+        h = resblock("middle_block_0", ch)(h, emb, train)
         h = AttentionBlockADM(num_heads=self.num_heads,
                               num_head_channels=self.num_head_channels,
                               use_new_attention_order=self.use_new_attention_order,
                               dtype=self.dtype, name="middle_block_1")(h)
-        h = resblock("middle_block_2", ch)(h, emb, train=train)
+        h = resblock("middle_block_2", ch)(h, emb, train)
 
         if self.pool == "adaptive":
             h = h.astype(input_dtype)
