@@ -156,10 +156,24 @@ def main(argv=None):
 
     x_np, y_np = load_data(args.domain, args.num_sub, args.data_seed,
                            classifier_name=args.classifier_name,
-                           adv_batch_size=args.adv_batch_size)
+                           adv_batch_size=args.adv_batch_size,
+                           shard=jax.process_index(),
+                           num_shards=jax.process_count())
     x = jnp.asarray(x_np)
     y = jnp.asarray(y_np)
     print(f"x: {x.shape} [{float(x.min()):.3f}, {float(x.max()):.3f}]")
+
+    # multi-chip: shard the batch over the (data, eot) mesh, replicate
+    # params; XLA emits the collectives (replaces DataParallel,
+    # ref eval_sde_adv.py:227-228)
+    if jax.device_count() > 1 and x.shape[0] % jax.device_count() == 0:
+        from diffpure_tpu.parallel import make_mesh, replicate, shard_batch
+        mesh = make_mesh()
+        x = shard_batch(x, mesh)
+        defended.score_params = replicate(defended.score_params, mesh)
+        defended.classifier_params = replicate(defended.classifier_params,
+                                               mesh)
+        print(f"sharded over mesh {dict(mesh.shape)}")
 
     attack_kwargs = {}
     if args.attack_version in ("standard", "rand", "custom"):

@@ -379,3 +379,30 @@ class TestAutoAttackSuite:
         aa = AutoAttack(model_fn, cfg, log_fn=lambda *a: None)
         x_adv, robust = aa.run_standard_evaluation(x, y, key)
         assert x_adv.shape == x.shape
+
+
+class TestAPGDSchedule:
+    def test_checkpoint_positions_match_autoattack(self):
+        """n_iter=100 checkpoints: 22, 41, 57, 70, 80, 87, 93, 99 (the
+        p_{j+1} = p_j + max(p_j - p_{j-1} - 0.03, 0.06) schedule)."""
+        from diffpure_tpu.attacks.apgd import _checkpoints
+        is_ckpt, window = _checkpoints(100)
+        positions = list(np.where(is_ckpt)[0])
+        assert positions == [22, 41, 57, 70, 80, 87, 93, 99], positions
+        # windows are the gaps between consecutive checkpoints
+        assert window[22] == 22 and window[41] == 19 and window[99] == 6
+
+
+class TestBrownianReplay:
+    def test_increments_reconstructible(self, key):
+        """The adjoint's noise replay: dW_i from (key, i) alone."""
+        from diffpure_tpu.solvers.em import brownian_increment
+        import jax
+        a = brownian_increment(key, jnp.asarray(5), (2, 3), 0.01)
+        b = brownian_increment(key, jnp.asarray(5), (2, 3), 0.01)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = brownian_increment(key, jnp.asarray(6), (2, 3), 0.01)
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+        # variance ~ dt
+        big = brownian_increment(key, jnp.asarray(0), (20000,), 0.01)
+        assert abs(float(jnp.var(big)) - 0.01) < 0.002
