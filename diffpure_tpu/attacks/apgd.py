@@ -77,7 +77,10 @@ def _project(x0: Array, z: Array, eps: float, norm: str) -> Array:
 
 def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
                    eot_iter: int):
-    """EOT-averaged (loss, grad, logits)."""
+    """EOT-averaged (loss, grad, mean-logits) via a scan over EOT keys
+    (one traced copy of the defended forward regardless of eot_iter)."""
+    from diffpure_tpu.attacks.eot import eot_average
+
     def single(k):
         def f(xx):
             logits = model_fn(xx, k)
@@ -86,12 +89,8 @@ def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
         (_, (losses, logits)), g = jax.value_and_grad(f, has_aux=True)(x)
         return losses, g, logits
 
-    losses, grads, logits = single(jax.random.fold_in(key, 0))
-    for i in range(1, eot_iter):
-        l2, g2, logits = single(jax.random.fold_in(key, i))
-        losses = losses + l2
-        grads = grads + g2
-    return losses / eot_iter, grads / eot_iter, logits
+    losses, grads, logits = eot_average(single, key, eot_iter)
+    return losses, grads, logits
 
 
 def _init_perturbation(key: Array, x: Array, cfg: APGDConfig) -> Array:

@@ -1,0 +1,37 @@
+"""EOT averaging as a scan — O(1) compiled-program size in eot_iter.
+
+A Python loop over EOT reps would inline eot_iter copies of the purify
+graph (20x the HLO at the Rand protocol's eot_iter=20); scanning over the
+stacked keys traces the defended forward exactly once.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def eot_keys(key: Array, n: int) -> Array:
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+
+
+def eot_average(fn: Callable[[Array], object], key: Array, n: int):
+    """Mean of fn(k) over n derived keys.
+
+    fn returns an arbitrary pytree; n == 1 short-circuits the scan.
+    """
+    if n == 1:
+        return fn(jax.random.fold_in(key, 0))
+    keys = eot_keys(key, n)
+
+    def body(acc, k):
+        out = fn(k)
+        acc = jax.tree_util.tree_map(jnp.add, acc, out)
+        return acc, None
+
+    init = fn(keys[0])
+    acc, _ = jax.lax.scan(body, init, keys[1:])
+    return jax.tree_util.tree_map(lambda v: v / n, acc)

@@ -76,18 +76,18 @@ def perturbation_pgd(model_fn: ModelFn, perturbation: Perturbation,
                                * perturbation.norm(p, x))
         return per_ex.sum(), per_ex
 
+    from diffpure_tpu.attacks.eot import eot_average
+
     def body(carry, i):
         params, opt_state, best_params, best_score = carry
         k_i = jax.random.fold_in(key, i)
-        (_, per_ex), g = jax.value_and_grad(objective, has_aux=True)(
-            params, jax.random.fold_in(k_i, 0))
-        for e in range(1, cfg.eot_iter):
-            (_, pe2), g2 = jax.value_and_grad(objective, has_aux=True)(
-                params, jax.random.fold_in(k_i, e))
-            g = jax.tree_util.tree_map(jnp.add, g, g2)
-            per_ex = per_ex + pe2
-        g = jax.tree_util.tree_map(lambda v: v / cfg.eot_iter, g)
-        per_ex = per_ex / cfg.eot_iter
+
+        def single(k):
+            (_, pe), g = jax.value_and_grad(objective, has_aux=True)(params,
+                                                                     k)
+            return g, pe
+
+        g, per_ex = eot_average(single, k_i, cfg.eot_iter)
 
         if use_adam:
             updates, opt_state = opt.update(g, opt_state, params)

@@ -68,13 +68,12 @@ def pgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
         g = jax.grad(f)(x_adv)
         return g
 
+    from diffpure_tpu.attacks.eot import eot_average
+
     def body(carry, i):
         x_adv, x_best, loss_best, found = carry
         k_i = jax.random.fold_in(key, i)
-        g = grad_step(x_adv, jax.random.fold_in(k_i, 0))
-        for e in range(1, cfg.eot_iter):
-            g = g + grad_step(x_adv, jax.random.fold_in(k_i, e))
-        g = g / cfg.eot_iter
+        g = eot_average(lambda k: grad_step(x_adv, k), k_i, cfg.eot_iter)
 
         if cfg.norm == "Linf":
             step = cfg.step_size * (jnp.sign(g) if cfg.signed else g)

@@ -101,18 +101,17 @@ def stadv_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
         per_ex = cw + cfg.flow_loss_coef * tv  # minimize
         return per_ex.sum(), per_ex
 
+    from diffpure_tpu.attacks.eot import eot_average
+
     def body(carry, i):
         grid, opt_state, best_grid, best_score = carry
         k_i = jax.random.fold_in(key, i)
-        (_, per_ex), g = jax.value_and_grad(objective, has_aux=True)(
-            grid, jax.random.fold_in(k_i, 0))
-        for e in range(1, cfg.eot_iter):
-            (_, pe2), g2 = jax.value_and_grad(objective, has_aux=True)(
-                grid, jax.random.fold_in(k_i, e))
-            g = g + g2
-            per_ex = per_ex + pe2
-        g = g / cfg.eot_iter
-        per_ex = per_ex / cfg.eot_iter
+
+        def single(k):
+            (_, pe), g = jax.value_and_grad(objective, has_aux=True)(grid, k)
+            return g, pe
+
+        g, per_ex = eot_average(single, k_i, cfg.eot_iter)
 
         updates, opt_state = opt.update(g, opt_state, grid)
         grid = optax.apply_updates(grid, updates)

@@ -139,10 +139,14 @@ class TestAPGD:
             noise = jax.random.normal(k, (xx.shape[0], 2)) * 0.05
             return model_fn(xx, None) + noise
 
-        cfg = APGDConfig(norm="Linf", eps=0.3, n_iter=20, eot_iter=4,
+        cfg = APGDConfig(norm="Linf", eps=0.5, n_iter=30, eot_iter=4,
                          loss="ce")
         x_adv, found = apgd_attack(noisy_model, x, y, key, cfg)
         assert np.asarray(found).any()
+        # EOT-mean logits: margins must drop toward the feasibility limit
+        m0 = np.asarray(margin_loss(model_fn(x, None), y))
+        m1 = np.asarray(margin_loss(model_fn(x_adv, None), y))
+        assert m1.mean() < 0.4 * m0.mean()
 
 
 class TestSquare:
