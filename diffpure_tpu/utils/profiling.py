@@ -78,3 +78,26 @@ def trace(log_dir: Optional[str] = None) -> Iterator[None]:
 def annotate(name: str):
     """Named region inside traced computations."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def flops_estimate(fn, *args) -> Optional[float]:
+    """Compiled-program FLOP estimate via XLA cost analysis.
+
+    The general replacement for the reference's thop attention counters
+    (ref guided_diffusion/unet.py:316-333): counts the whole jitted program.
+    Returns None when the backend doesn't expose cost analysis.
+    """
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return None
+
+
+def attention_flops(batch: int, seq: int, channels: int) -> int:
+    """Closed-form attention matmul FLOPs (ref unet.py:316-333):
+    two (seq x seq x channels) matmuls."""
+    return 2 * batch * (seq ** 2) * channels

@@ -75,3 +75,18 @@ class TestUndefendedModel:
         np.testing.assert_allclose(np.asarray(m.purify(x, key)),
                                    np.asarray(x))
         assert m(x, key).shape == (2, 2)
+
+
+class TestFlopsEstimate:
+    def test_matmul_flops(self):
+        from diffpure_tpu.utils.profiling import flops_estimate
+        import jax.numpy as jnp
+        a = jnp.ones((64, 128))
+        b = jnp.ones((128, 256))
+        f = flops_estimate(lambda x, y: x @ y, a, b)
+        if f is not None:  # backend-dependent
+            assert abs(f - 2 * 64 * 128 * 256) / (2 * 64 * 128 * 256) < 0.5
+
+    def test_attention_flops_formula(self):
+        from diffpure_tpu.utils.profiling import attention_flops
+        assert attention_flops(2, 4096, 512) == 2 * 2 * 4096 ** 2 * 512
