@@ -50,7 +50,7 @@ def main():
     # compile + warmup (absorbs the remote-compile cold start)
     float(run(params, x_img, jax.random.fold_in(key, 2)))
 
-    n_iters = 3
+    n_iters = 2
     t0 = time.time()
     for i in range(n_iters):
         float(run(params, x_img, jax.random.fold_in(key, 3 + i)))
