@@ -260,3 +260,87 @@ class TestRegistry:
         params = model.init(jax.random.PRNGKey(0), x01)
         out = logits_fn(params, x01)
         assert out.shape == (1, 10)
+
+
+class TestViTNumericParity:
+    def test_matches_local_torch_deit_oracle(self, rng):
+        """Oracle: a faithful torch replication of the timm DeiT/ViT block
+        (timm itself is not installed)."""
+        import math
+        import torch
+        import torch.nn as tnn
+
+        class Attn(tnn.Module):
+            def __init__(self, dim, heads):
+                super().__init__()
+                self.heads = heads
+                self.qkv = tnn.Linear(dim, dim * 3)
+                self.proj = tnn.Linear(dim, dim)
+
+            def forward(self, x):
+                B, T, C = x.shape
+                h = self.heads
+                qkv = self.qkv(x).reshape(B, T, 3, h, C // h)
+                qkv = qkv.permute(2, 0, 3, 1, 4)  # (3, B, h, T, d)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                att = (q @ k.transpose(-2, -1)) * (C // h) ** -0.5
+                att = att.softmax(dim=-1)
+                out = (att @ v).transpose(1, 2).reshape(B, T, C)
+                return self.proj(out)
+
+        class Block(tnn.Module):
+            def __init__(self, dim, heads):
+                super().__init__()
+                self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+                self.attn = Attn(dim, heads)
+                self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+                self.mlp = tnn.Sequential()
+                self.mlp.fc1 = tnn.Linear(dim, dim * 4)
+                self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+
+            def forward(self, x):
+                x = x + self.attn(self.norm1(x))
+                h = self.mlp.fc1(self.norm2(x))
+                h = tnn.functional.gelu(h)
+                return x + self.mlp.fc2(h)
+
+        class TinyDeiT(tnn.Module):
+            def __init__(self, img=32, patch=8, dim=64, depth=2, heads=4,
+                         classes=10):
+                super().__init__()
+                n = (img // patch) ** 2
+                self.patch_embed = tnn.Module()
+                self.patch_embed.proj = tnn.Conv2d(3, dim, patch, patch)
+                self.cls_token = tnn.Parameter(torch.zeros(1, 1, dim))
+                self.pos_embed = tnn.Parameter(torch.randn(1, n + 1, dim))
+                self.blocks = tnn.ModuleList(
+                    [Block(dim, heads) for _ in range(depth)])
+                self.norm = tnn.LayerNorm(dim, eps=1e-6)
+                self.head = tnn.Linear(dim, classes)
+
+            def forward(self, x):
+                B = x.shape[0]
+                x = self.patch_embed.proj(x)  # (B, dim, H', W')
+                x = x.flatten(2).transpose(1, 2)
+                cls = self.cls_token.expand(B, -1, -1)
+                x = torch.cat([cls, x], dim=1) + self.pos_embed
+                for blk in self.blocks:
+                    x = blk(x)
+                x = self.norm(x)
+                return self.head(x[:, 0])
+
+        torch.manual_seed(0)
+        ref = TinyDeiT().eval()
+        with torch.no_grad():
+            for p in ref.parameters():
+                p.add_(torch.randn_like(p) * 0.02)
+
+        params = translate_vit(ref.state_dict())
+        model = ViT(image_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, num_classes=10)
+        x = rng.rand(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(model.apply(params,
+                                     jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
