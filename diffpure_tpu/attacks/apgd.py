@@ -36,6 +36,7 @@ class APGDConfig:
     n_restarts: int = 1
     eot_iter: int = 1
     rho: float = 0.75
+    eot_parallel: bool = False  # vmap EOT reps (shard over an 'eot' mesh axis)
     loss: str = "ce"  # 'ce' | 'dlr' | 'dlr-targeted'
     n_target_classes: int = 9  # for apgd-t
     seed: int = 0
@@ -76,7 +77,7 @@ def _project(x0: Array, z: Array, eps: float, norm: str) -> Array:
 
 
 def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
-                   eot_iter: int):
+                   eot_iter: int, eot_parallel: bool = False):
     """EOT-averaged (loss, grad, mean-logits) via a scan over EOT keys
     (one traced copy of the defended forward regardless of eot_iter)."""
     from diffpure_tpu.attacks.eot import eot_average
@@ -89,7 +90,8 @@ def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
         (_, (losses, logits)), g = jax.value_and_grad(f, has_aux=True)(x)
         return losses, g, logits
 
-    losses, grads, logits = eot_average(single, key, eot_iter)
+    losses, grads, logits = eot_average(single, key, eot_iter,
+                                        parallel=eot_parallel)
     return losses, grads, logits
 
 
@@ -118,7 +120,7 @@ def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
     x_adv = _init_perturbation(k_init, x, cfg)
     losses, grad, logits = _loss_and_grad(model_fn, loss_fn, x_adv,
                                           jax.random.fold_in(k_loop, 2**31 - 1),
-                                          cfg.eot_iter)
+                                          cfg.eot_iter, cfg.eot_parallel)
     pred_ok = jnp.argmax(logits, -1) == y
 
     # AA uses 2*eps initial step for both norms (L2 grad is normalized).
@@ -158,7 +160,8 @@ def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
 
         key = jax.random.fold_in(carry["key"], i)
         losses, new_grad, logits = _loss_and_grad(model_fn, loss_fn, x1,
-                                                  key, cfg.eot_iter)
+                                                  key, cfg.eot_iter,
+                                                  cfg.eot_parallel)
         pred_wrong = jnp.argmax(logits, -1) != y
         found = carry["found"] | pred_wrong
         x_best_adv = jnp.where(pred_wrong[:, None, None, None], x1,

@@ -18,14 +18,24 @@ def eot_keys(key: Array, n: int) -> Array:
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
 
 
-def eot_average(fn: Callable[[Array], object], key: Array, n: int):
+def eot_average(fn: Callable[[Array], object], key: Array, n: int,
+                parallel: bool = False):
     """Mean of fn(k) over n derived keys.
 
-    fn returns an arbitrary pytree; n == 1 short-circuits the scan.
+    fn returns an arbitrary pytree; n == 1 short-circuits.
+
+    parallel=False: sequential scan — O(1) memory in n (single-chip default).
+    parallel=True: vmap over the EOT axis — all reps in flight at once;
+    under a mesh with an 'eot' axis XLA shards the reps across chips and the
+    mean lowers to a psum (SURVEY.md §2.6 "EOT batched across chips").
     """
     if n == 1:
         return fn(jax.random.fold_in(key, 0))
     keys = eot_keys(key, n)
+
+    if parallel:
+        outs = jax.vmap(fn)(keys)
+        return jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), outs)
 
     def body(acc, k):
         out = fn(k)

@@ -77,3 +77,38 @@ class TestShardedPurify:
 
         out = g(xs, jax.random.fold_in(key, 1))
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestEOTParallel:
+    def test_vmap_matches_scan(self, key):
+        """Parallel (vmap) EOT averaging == sequential scan averaging."""
+        from diffpure_tpu.attacks.eot import eot_average
+        import jax
+
+        def f(k):
+            return jax.random.normal(k, (4,))
+
+        a = eot_average(f, key, 8, parallel=False)
+        b = eot_average(f, key, 8, parallel=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_apgd_parallel_eot_matches_scan(self, key, rng):
+        from diffpure_tpu.attacks import apgd_attack, APGDConfig
+        from tests.test_attacks import make_linear_model
+        W = np.stack([rng.randn(16), -rng.randn(16)], 1).astype(np.float32)
+        model_fn0 = make_linear_model(W * 0.1)
+        x = jnp.asarray(rng.rand(4, 4, 4, 1).astype(np.float32))
+        y = jnp.argmax(model_fn0(x, None), -1)
+
+        def noisy(xx, k):
+            return model_fn0(xx, None) + jax.random.normal(
+                k, (xx.shape[0], 2)) * 0.02
+
+        a_scan = apgd_attack(noisy, x, y, key, APGDConfig(
+            eps=0.2, n_iter=5, eot_iter=4, eot_parallel=False))
+        a_vmap = apgd_attack(noisy, x, y, key, APGDConfig(
+            eps=0.2, n_iter=5, eot_iter=4, eot_parallel=True))
+        np.testing.assert_allclose(np.asarray(a_scan[0]),
+                                   np.asarray(a_vmap[0]), rtol=1e-4,
+                                   atol=1e-5)
