@@ -185,7 +185,10 @@ def main(argv=None):
         attack_kwargs = dict(bound=args.adv_eps, n_iter=100,
                              eot_iter=args.eot_iter)
     elif args.attack_version == "bpda":
-        attack_kwargs = dict(adv_eps=args.adv_eps,
+        attack_kwargs = dict(adv_eps=args.adv_eps, adv_eta=args.adv_eta,
+                             adv_steps=args.adv_steps,
+                             eot_defense_reps=args.eot_defense_reps,
+                             eot_attack_reps=args.eot_attack_reps,
                              attack_norm=("l_inf" if args.lp_norm == "Linf"
                                           else "l_2"))
 

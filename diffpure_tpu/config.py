@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attack_version", type=str, default="standard")
     p.add_argument("--num_sub", type=int, default=1000)
     p.add_argument("--adv_eps", type=float, default=0.07)
+    # BPDA+EOT knobs (ref eval_sde_adv_bpda.py argparse + bpda_eot_attack.py:24-34)
+    p.add_argument("--adv_eta", type=float, default=2 / 255)
+    p.add_argument("--adv_steps", type=int, default=50)
+    p.add_argument("--eot_defense_reps", type=int, default=150)
+    p.add_argument("--eot_attack_reps", type=int, default=15)
     # grad mode (TPU extension)
     p.add_argument("--grad_mode", type=str, default="checkpoint",
                    choices=["checkpoint", "adjoint", "none"])

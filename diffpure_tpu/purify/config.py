@@ -57,5 +57,11 @@ class PurifyConfig:
     # numerical epsilon at the integration end (ref diffpure_sde.py:228)
     epsilon_dt1: float = 1e-5
 
+    # NOTE on the reference's --use_bm flag (BrownianInterval,
+    # ref diffpure_sde.py:235-238): our Brownian increments are ALWAYS
+    # counter-based and reconstructible from (key, step) — the
+    # BrownianInterval semantics are the default here, so the flag is a
+    # no-op and intentionally absent.
+
     def solver_steps(self) -> int:
         return self.n_steps if self.n_steps is not None else self.t

@@ -17,4 +17,6 @@ python -m diffpure_tpu.cli \
   --t 500 \
   --adv_eps 0.062745098 \
   --attack_version bpda \
-  --classifier_name celebahq__Eyeglasses
+  --classifier_name celebahq__Eyeglasses \
+  --eot_defense_reps 20 \
+  --eot_attack_reps 15

@@ -19,4 +19,6 @@ python -m diffpure_tpu.cli \
   --t 100 \
   --adv_eps 0.031373 \
   --classifier_name cifar10-wideresnet-28-10 \
-  --attack_version bpda
+  --attack_version bpda \
+  --eot_defense_reps 150 \
+  --eot_attack_reps 15
