@@ -15,7 +15,7 @@ from typing import Optional
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_SRC_DIR, "upfirdn2d.cc")
-_SO = os.path.join(_SRC_DIR, "_diffpure_native.so")
+_SO = os.path.join(_SRC_DIR, "libdiffpure_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False

@@ -152,7 +152,6 @@ def purify_ode(model_fn: ModelFn, params, x: Array, key: Array,
         xt = _forward_diffuse(x0, k_noise, cfg, t_star)
         t0 = t_star / 1000.0
         t1 = cfg.epsilon_dt1
-        span = t0 - t1
         n_steps = max(int(round(cfg.t / 1000.0 / cfg.step_size)), 1)
 
         if cfg.grad_mode == "adjoint":
