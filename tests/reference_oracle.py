@@ -89,6 +89,38 @@ def patch_ncsn_conv_bias_bug():
     ref_layers.ncsn_conv3x3 = ncsn_conv3x3
 
 
+def patch_fir_upsample_conv():
+    """Third reference bug: up_or_down_sampling.upsample_conv_2d flips the
+    weight with negative-step slicing (`w[..., ::-1, ::-1]`,
+    ref up_or_down_sampling.py:134), which torch has never supported — the
+    FIR pyramid-upsample path is dead code there. Replace the flip with
+    torch.flip (the original StyleGAN2/TF semantics)."""
+    _patch_cpp_extension()
+    add_reference_path()
+    import torch
+    import torch.nn.functional as TF
+    from score_sde.models import up_or_down_sampling as uds
+
+    def upsample_conv_2d(x, w, k=None, factor=2, gain=1):
+        assert isinstance(factor, int) and factor >= 1
+        convH, convW = w.shape[2], w.shape[3]
+        inC = w.shape[1]
+        if k is None:
+            k = [1] * factor
+        kk = uds._setup_kernel(k) * (gain * (factor ** 2))
+        p = (kk.shape[0] - factor) - (convW - 1)
+        num_groups = x.shape[1] // inC
+        w2 = torch.reshape(w, (num_groups, -1, inC, convH, convW))
+        w2 = torch.flip(w2, [3, 4]).permute(0, 2, 1, 3, 4)
+        w2 = torch.reshape(w2, (num_groups * inC, -1, convH, convW))
+        x = TF.conv_transpose2d(x, w2, stride=(factor, factor),
+                                output_padding=0, padding=0)
+        return uds.upfirdn2d(x, torch.tensor(kk, device=x.device),
+                             pad=((p + 1) // 2 + factor - 1, p // 2 + 1))
+
+    uds.upsample_conv_2d = upsample_conv_2d
+
+
 def load_reference_ncsnpp(config):
     """Instantiate reference NCSNpp (eval mode) on CPU."""
     _patch_cpp_extension()

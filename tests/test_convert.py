@@ -253,3 +253,54 @@ class TestCheckpointPlumbing:
         r0 = jax.tree_util.tree_leaves(raw)[0]
         np.testing.assert_allclose(np.asarray(k0), 0.5 * np.asarray(r0),
                                    rtol=1e-6)
+
+
+class TestNCSNppProgressiveParity:
+    """The progressive/FIR config space (used by score_sde's CelebA/church
+    checkpoints) against the reference implementation."""
+
+    def test_output_skip_input_skip_fir(self):
+        cfg = ro.cifar10_ref_config(
+            model=dict(nf=32, ch_mult=[1, 2], num_res_blocks=1,
+                       attn_resolutions=[8], fir=True,
+                       progressive="output_skip",
+                       progressive_input="input_skip",
+                       progressive_combine="sum"),
+            data=dict(image_size=16))
+        TestNCSNppParity()._compare(
+            cfg,
+            dict(image_size=16, nf=32, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(8,), fir=True, progressive="output_skip",
+                 progressive_input="input_skip", progressive_combine="sum"),
+            [10.0, 500.0])
+
+    def test_residual_residual_fir(self):
+        ro.patch_fir_upsample_conv()  # reference negative-stride flip bug
+        cfg = ro.cifar10_ref_config(
+            model=dict(nf=32, ch_mult=[1, 2], num_res_blocks=1,
+                       attn_resolutions=[8], fir=True,
+                       progressive="residual",
+                       progressive_input="residual",
+                       progressive_combine="sum"),
+            data=dict(image_size=16))
+        TestNCSNppParity()._compare(
+            cfg,
+            dict(image_size=16, nf=32, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(8,), fir=True, progressive="residual",
+                 progressive_input="residual", progressive_combine="sum"),
+            [10.0, 500.0])
+
+    def test_input_skip_cat_combiner(self):
+        cfg = ro.cifar10_ref_config(
+            model=dict(nf=32, ch_mult=[1, 2], num_res_blocks=1,
+                       attn_resolutions=[8], fir=False,
+                       progressive="none",
+                       progressive_input="input_skip",
+                       progressive_combine="cat"),
+            data=dict(image_size=16))
+        TestNCSNppParity()._compare(
+            cfg,
+            dict(image_size=16, nf=32, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(8,), fir=False, progressive="none",
+                 progressive_input="input_skip", progressive_combine="cat"),
+            [10.0, 500.0])
