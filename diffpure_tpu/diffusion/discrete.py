@@ -263,11 +263,36 @@ class GaussianDiffusion:
         return {"mean": model_mean, "variance": model_variance,
                 "log_variance": model_log_variance, "pred_xstart": pred_xstart}
 
+    # ---- classifier guidance (ref gaussian_diffusion.py:352-400) --------------
+
+    def condition_mean(self, cond_fn: Callable, p_mean_var: dict, x: Array,
+                       t: Array, model_kwargs=None) -> Array:
+        """Shift the posterior mean by variance * grad log p(y|x)
+        (ref gaussian_diffusion.py:352-377)."""
+        gradient = cond_fn(x, self._scale_timesteps(t),
+                           **(model_kwargs or {}))
+        return (p_mean_var["mean"].astype(jnp.float32)
+                + p_mean_var["variance"] * gradient.astype(jnp.float32))
+
+    def condition_score(self, cond_fn: Callable, p_mean_var: dict, x: Array,
+                        t: Array, model_kwargs=None) -> dict:
+        """Song et al. score conditioning for DDIM
+        (ref gaussian_diffusion.py:379-400)."""
+        alpha_bar = _extract(self.alphas_cumprod, t, x.shape)
+        eps = self._predict_eps_from_xstart(x, t, p_mean_var["pred_xstart"])
+        eps = eps - jnp.sqrt(1 - alpha_bar) * cond_fn(
+            x, self._scale_timesteps(t), **(model_kwargs or {}))
+        out = dict(p_mean_var)
+        out["pred_xstart"] = self._predict_xstart_from_eps(x, t, eps)
+        out["mean"], _, _ = self.q_posterior_mean_variance(
+            out["pred_xstart"], x, t)
+        return out
+
     # ---- samplers -------------------------------------------------------------
 
     def p_sample(self, key: Array, model_fn: Callable, x: Array, t: Array,
                  clip_denoised: bool = True, denoised_fn=None,
-                 model_kwargs=None) -> dict:
+                 cond_fn=None, model_kwargs=None) -> dict:
         """One ancestral sampling step (ref gaussian_diffusion.py:403-447)."""
         out = self.p_mean_variance(model_fn, x, t, clip_denoised=clip_denoised,
                                    denoised_fn=denoised_fn,
@@ -275,16 +300,23 @@ class GaussianDiffusion:
         noise = jax.random.normal(key, x.shape, x.dtype)
         nonzero_mask = (t != 0).astype(x.dtype).reshape(
             t.shape + (1,) * (x.ndim - t.ndim))
-        sample = out["mean"] + nonzero_mask * jnp.exp(0.5 * out["log_variance"]) * noise
+        mean = out["mean"]
+        if cond_fn is not None:
+            mean = self.condition_mean(cond_fn, out, x, t,
+                                       model_kwargs=model_kwargs)
+        sample = mean + nonzero_mask * jnp.exp(0.5 * out["log_variance"]) * noise
         return {"sample": sample, "pred_xstart": out["pred_xstart"]}
 
     def ddim_sample(self, key: Array, model_fn: Callable, x: Array, t: Array,
                     clip_denoised: bool = True, denoised_fn=None,
-                    model_kwargs=None, eta: float = 0.0) -> dict:
+                    cond_fn=None, model_kwargs=None, eta: float = 0.0) -> dict:
         """One DDIM step (ref gaussian_diffusion.py:545-612)."""
         out = self.p_mean_variance(model_fn, x, t, clip_denoised=clip_denoised,
                                    denoised_fn=denoised_fn,
                                    model_kwargs=model_kwargs)
+        if cond_fn is not None:
+            out = self.condition_score(cond_fn, out, x, t,
+                                       model_kwargs=model_kwargs)
         eps = self._predict_eps_from_xstart(x, t, out["pred_xstart"])
         alpha_bar = _extract(self.alphas_cumprod, t, x.shape)
         alpha_bar_prev = _extract(self.alphas_cumprod_prev, t, x.shape)

@@ -206,6 +206,30 @@ def sr_create_model(large_size: int, small_size: int, **kwargs):
         dtype=jnp.bfloat16 if d["use_fp16"] else None)
 
 
+def sr_model_and_diffusion_defaults() -> dict:
+    """ref script_util.py:278-292."""
+    d = model_and_diffusion_defaults()
+    d.update(large_size=256, small_size=64)
+    d.pop("image_size", None)
+    return d
+
+
+def sr_create_model_and_diffusion(config: dict):
+    """ref script_util.py:294-340."""
+    d = sr_model_and_diffusion_defaults()
+    d.update({k: v for k, v in config.items() if k in d})
+    large = d.pop("large_size")
+    small = d.pop("small_size")
+    model = sr_create_model(large, small, **d)
+    diffusion = create_gaussian_diffusion(
+        steps=d["diffusion_steps"], learn_sigma=d["learn_sigma"],
+        noise_schedule=d["noise_schedule"], use_kl=d["use_kl"],
+        predict_xstart=d["predict_xstart"],
+        rescale_timesteps=d["rescale_timesteps"],
+        timestep_respacing=d["timestep_respacing"])
+    return model, diffusion
+
+
 def create_model_and_diffusion(config: dict):
     """ref script_util.py:82-136: defaults merged with a config dict
     (the YAML `model:` section, ref runners/diffpure_sde.py:163-164)."""

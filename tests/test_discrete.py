@@ -217,3 +217,46 @@ class TestLoopAndLosses:
         terms = d.training_losses(key, model, x0, jnp.array([10, 50]))
         assert np.isfinite(np.asarray(terms["loss"])).all()
         assert terms["loss"].shape == (2,)
+
+
+class TestClassifierGuidance:
+    def test_condition_mean_shifts_toward_gradient(self, key):
+        d = make_diffusion(100)
+        model = lambda x, t: jnp.zeros_like(x)
+        x = jnp.zeros((2, 2, 2, 3))
+        t = jnp.array([50, 50])
+        cond = lambda xx, tt: jnp.ones_like(xx)  # push up
+        base = d.p_sample(key, model, x, t)["sample"]
+        guided = d.p_sample(key, model, x, t, cond_fn=cond)["sample"]
+        # same noise (same key) => difference is exactly variance * grad
+        diff = np.asarray(guided - base)
+        var = d.posterior_variance[50]
+        np.testing.assert_allclose(diff, var, rtol=1e-4, atol=1e-6)
+
+    def test_condition_score_ddim(self, key):
+        d = make_diffusion(100)
+        model = lambda x, t: jnp.zeros_like(x)
+        x = jnp.full((1, 2, 2, 3), 0.1)
+        t = jnp.array([50])
+        cond = lambda xx, tt: jnp.ones_like(xx) * 0.1
+        base = d.ddim_sample(key, model, x, t, eta=0.0)["sample"]
+        guided = d.ddim_sample(key, model, x, t, cond_fn=cond,
+                               eta=0.0)["sample"]
+        assert not np.allclose(np.asarray(base), np.asarray(guided))
+        assert np.isfinite(np.asarray(guided)).all()
+
+
+class TestSRFactory:
+    def test_sr_create_model_and_diffusion(self, key):
+        from diffpure_tpu.models.factories import sr_create_model_and_diffusion
+        model, diffusion = sr_create_model_and_diffusion(
+            dict(large_size=64, small_size=16, num_channels=32,
+                 num_res_blocks=1, attention_resolutions="16",
+                 num_head_channels=16, learn_sigma=True,
+                 diffusion_steps=100))
+        x = jnp.zeros((1, 64, 64, 3))
+        lr = jnp.zeros((1, 16, 16, 3))
+        p = model.init(key, x, jnp.array([10]), low_res=lr)
+        out = model.apply(p, x, jnp.array([10]), low_res=lr)
+        assert out.shape == (1, 64, 64, 6)
+        assert diffusion.num_timesteps == 100
