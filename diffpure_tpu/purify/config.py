@@ -38,8 +38,10 @@ class PurifyConfig:
     # t/1000, ref SURVEY.md §3.2); pass fewer for accelerated purification.
     n_steps: int | None = None
 
-    # ODE runner (ref diffpure_ode.py:229-238)
+    # ODE runner (ref diffpure_ode.py:229-238); 'heun' is the fixed-step
+    # higher-order stand-in for the reference's 'dopri5' option
     step_size: float = 1e-3
+    ode_method: str = "euler"  # 'euler' | 'heun' 
 
     # LDSDE runner (ref diffpure_ldsde.py:50-130,195-199)
     sigma2: float = 1e-3

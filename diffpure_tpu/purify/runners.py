@@ -33,7 +33,7 @@ from diffpure_tpu.diffusion.sde import VPSDE, batch_mul
 from diffpure_tpu.purify.config import PurifyConfig
 from diffpure_tpu.solvers.adjoint import sdeint_em_adjoint, odeint_euler_adjoint
 from diffpure_tpu.solvers.em import sdeint_em
-from diffpure_tpu.solvers.ode import odeint_euler
+from diffpure_tpu.solvers.ode import odeint_euler, odeint_heun
 
 Array = jax.Array
 # model_fn(params, x_img, t_cond) -> model output (eps [+ sigma] or score input)
@@ -155,10 +155,12 @@ def purify_ode(model_fn: ModelFn, params, x: Array, key: Array,
         n_steps = max(int(round(cfg.t / 1000.0 / cfg.step_size)), 1)
 
         if cfg.grad_mode == "adjoint":
+            assert cfg.ode_method == "euler", "adjoint path is Euler-only"
             x_pure = odeint_euler_adjoint(ode_fn, params, xt, t0, t1, n_steps)
         else:
-            x_pure = odeint_euler(lambda xx, tt: ode_fn(params, xx, tt),
-                                  xt, t0, t1, n_steps, remat=True)
+            solver = odeint_heun if cfg.ode_method == "heun" else odeint_euler
+            x_pure = solver(lambda xx, tt: ode_fn(params, xx, tt),
+                            xt, t0, t1, n_steps, remat=True)
             if cfg.grad_mode == "none":
                 x_pure = jax.lax.stop_gradient(x_pure)
         x0 = x_pure

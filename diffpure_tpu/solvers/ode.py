@@ -38,3 +38,31 @@ def odeint_euler(
         step = jax.checkpoint(step)
     x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
     return x1
+
+
+def odeint_heun(
+    func: OdeFn,
+    x0: Array,
+    t0: float,
+    t1: float,
+    n_steps: int,
+    *,
+    remat: bool = True,
+) -> Array:
+    """Heun's method (explicit trapezoidal, 2nd order): two func evals per
+    step, ~quadratic error decay — the fixed-step TPU stand-in for the
+    reference's adaptive dopri5 option (ref diffpure_ode.py:243 'dopri5')."""
+    dt = (t1 - t0) / n_steps
+
+    def step(x, i):
+        t = t0 + i.astype(x0.dtype) * dt
+        tb = jnp.full((x.shape[0],), t, dtype=x.dtype)
+        tb1 = tb + dt
+        k1 = func(x, tb)
+        k2 = func(x + dt * k1, tb1)
+        return x + (dt / 2) * (k1 + k2), None
+
+    if remat:
+        step = jax.checkpoint(step)
+    x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
+    return x1

@@ -160,3 +160,31 @@ class TestAdjoint:
 
         g = f(params, jnp.ones((1, 2)))
         assert np.isfinite(float(g["a"]))
+
+
+class TestHeun:
+    def test_second_order_convergence(self):
+        """Heun error ~ O(dt^2): quartering steps should ~16x the error of
+        exp decay; Euler only ~4x."""
+        from diffpure_tpu.solvers.ode import odeint_heun
+        func = lambda x, t: -x
+        exact = np.exp(-1.0)
+
+        def err(n):
+            out = odeint_heun(func, jnp.ones((1, 1)), 0.0, 1.0, n)
+            return abs(float(out[0, 0]) - exact)
+
+        e10, e40 = err(10), err(40)
+        assert e40 < e10 / 10  # clearly super-linear
+
+    def test_purify_ode_heun(self, key=None):
+        import jax
+        from diffpure_tpu.purify import PurifyConfig, purify
+        from tests.test_purify import unit_gaussian_score_model, PARAMS
+        key = jax.random.PRNGKey(0)
+        cfg = PurifyConfig(diffusion_type="ode", t=20, ode_method="heun")
+        x = jax.random.normal(key, (2, 4, 4, 1))
+        out = purify(unit_gaussian_score_model, PARAMS, x,
+                     jax.random.fold_in(key, 1), cfg)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
