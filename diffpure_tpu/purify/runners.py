@@ -244,7 +244,8 @@ def purify_dpm(model_fn: ModelFn, params, x: Array, key: Array,
         t_star = _sample_t(k_t, cfg)
         xt = _forward_diffuse(x0, k_noise, cfg, t_star)
         n_steps = cfg.solver_steps()
-        x_pure = dpm_solver_pp_2m(eps_fn, xt, cfg.t / 1000.0,
+        # t_star may be traced under rand_t; the solver's linspace handles it
+        x_pure = dpm_solver_pp_2m(eps_fn, xt, t_star / 1000.0,
                                   cfg.epsilon_dt1, n_steps, sde)
         if cfg.grad_mode == "none":
             x_pure = jax.lax.stop_gradient(x_pure)

@@ -222,3 +222,12 @@ class TestDPMRunner:
             jax.random.fold_in(key, 1), cfg) ** 2))(x)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+    def test_rand_t_dpm(self, key):
+        cfg = PurifyConfig(diffusion_type="dpm", t=40, n_steps=8,
+                           rand_t=True, t_delta=10)
+        x = jax.random.normal(key, (2, 4, 4, 1))
+        out = jax.jit(lambda xx, kk: purify(
+            unit_gaussian_score_model, PARAMS, xx, kk, cfg))(
+                x, jax.random.fold_in(key, 1))
+        assert np.isfinite(np.asarray(out)).all()
