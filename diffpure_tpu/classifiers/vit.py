@@ -64,17 +64,30 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
-        B = x.shape[0]
+        B, H_in = x.shape[0], x.shape[1]
         n_patches = (self.image_size // self.patch_size) ** 2
         x = nn.Conv(self.embed_dim,
                     (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
                     padding="VALID", name="patch_embed_proj")(x)
-        x = x.reshape(B, n_patches, self.embed_dim)
+        grid_in = H_in // self.patch_size
+        x = x.reshape(B, grid_in * grid_in, self.embed_dim)
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, self.embed_dim))
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, n_patches + 1, self.embed_dim))
+        if grid_in * grid_in != n_patches:
+            # dynamic input size (the ImageNet purifier hands the classifier
+            # 256px images, ref eval_sde_adv.py:75-89 never resizes back):
+            # bicubically resample the positional grid, timm-style
+            g0 = int(n_patches ** 0.5)
+            grid_pos = pos[:, 1:].reshape(1, g0, g0, self.embed_dim)
+            grid_pos = jax.image.resize(
+                grid_pos, (1, grid_in, grid_in, self.embed_dim), "bicubic")
+            pos = jnp.concatenate(
+                [pos[:, :1],
+                 grid_pos.reshape(1, grid_in * grid_in, self.embed_dim)],
+                axis=1)
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.embed_dim)), x],
                             axis=1)
         x = x + pos

@@ -344,3 +344,20 @@ class TestViTNumericParity:
         got = np.asarray(model.apply(params,
                                      jnp.asarray(x.transpose(0, 2, 3, 1))))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestViTDynamicSize:
+    def test_256px_input_on_224_model(self, rng, key):
+        """The ImageNet defended pipeline hands the classifier 256px
+        purified images; pos embeds are resampled timm-style."""
+        model = ViT(image_size=224, patch_size=16, embed_dim=64, depth=1,
+                    num_heads=4, num_classes=10)
+        params = model.init(key, jnp.zeros((1, 224, 224, 3)))
+        out = model.apply(params, jnp.asarray(
+            rng.rand(2, 256, 256, 3).astype(np.float32)))
+        assert out.shape == (2, 10)
+        assert np.isfinite(np.asarray(out)).all()
+        # native size still exact
+        out224 = model.apply(params, jnp.asarray(
+            rng.rand(2, 224, 224, 3).astype(np.float32)))
+        assert out224.shape == (2, 10)
