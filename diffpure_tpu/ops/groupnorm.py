@@ -10,7 +10,7 @@ Normalization statistics are always taken in float32 — the TPU bf16 analog of
 the reference's GroupNorm32 discipline — then scale/shift and the optional
 SiLU are applied in the compute dtype. Under jit XLA fuses the whole thing
 into one or two VPU passes over the feature map; a Pallas variant exists for
-fusion experiments (group_norm_pallas).
+fusion experiments (group_norm_silu_pallas).
 
 Layout: NHWC; groups are contiguous channel blocks (same as torch).
 """
