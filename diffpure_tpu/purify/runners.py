@@ -268,31 +268,48 @@ def make_imagenet_diffusion(timestep_respacing: str = "1000",
 
 def purify_guided_ddpm(model_fn: ModelFn, params, x: Array, key: Array,
                        cfg: PurifyConfig,
-                       diffusion: Optional[SpacedDiffusion] = None) -> Array:
+                       diffusion: Optional[SpacedDiffusion] = None,
+                       use_ddim: bool = False) -> Array:
     """Discrete guided-diffusion purification (ImageNet; ref diffpure_guided.py).
 
     Non-differentiable in the reference (no_grad -> BPDA); we honor
     grad_mode='none' by default here but keep the scan differentiable if
     grad_mode says otherwise.
+
+    Respacing: pass a SpacedDiffusion with fewer steps (e.g. from
+    make_imagenet_diffusion("ddim50")) and a cfg.t in *respaced* indices —
+    the wrapped model remaps to original timesteps (ref respace.py:124-135).
+    use_ddim runs the deterministic DDIM update instead of ancestral
+    sampling (ref gaussian_diffusion.py:545-612) — the discrete-path NFE
+    reduction analogous to DPM++ on the continuous path.
     """
     if diffusion is None:
         diffusion = make_imagenet_diffusion()
     wrapped = lambda xx, tt: model_fn(params, xx, tt)
+
+    # forward-noise depth in the (possibly respaced) process: the alphabar
+    # at respaced index t-1 equals the original alphabar at the mapped step.
+    abar = jnp.asarray(diffusion.alphas_cumprod, jnp.float32)
 
     xs = []
     x0 = x
     for it in range(cfg.sample_step):
         k_noise, k_loop = (jax.random.fold_in(key, 2 * it + j)
                            for j in range(2))
-        # forward noising uses the runner's own VP alphabar
-        # (ref diffpure_guided.py:60-63)
-        xt = _forward_diffuse(x0, k_noise, cfg, cfg.t)
+        e = jax.random.normal(k_noise, x0.shape, x0.dtype)
+        a_t = abar[cfg.t - 1]
+        xt = x0 * jnp.sqrt(a_t) + e * jnp.sqrt(1.0 - a_t)
 
         def step(carry, i):
             xc, k = carry
             k, sub = jax.random.split(k)
             t = jnp.full((x.shape[0],), cfg.t - 1 - i, dtype=jnp.int32)
-            out = diffusion.p_sample(sub, wrapped, xc, t, clip_denoised=True)
+            if use_ddim:
+                out = diffusion.ddim_sample(sub, wrapped, xc, t,
+                                            clip_denoised=True, eta=0.0)
+            else:
+                out = diffusion.p_sample(sub, wrapped, xc, t,
+                                         clip_denoised=True)
             return (out["sample"], k), None
 
         (x_pure, _), _ = jax.lax.scan(

@@ -231,3 +231,21 @@ class TestDPMRunner:
             unit_gaussian_score_model, PARAMS, xx, kk, cfg))(
                 x, jax.random.fold_in(key, 1))
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_guided_ddpm_respaced_ddim(self, key):
+        """Respaced DDIM purification: t* in respaced indices, ddim updates
+        (the ImageNet NFE-reduction path)."""
+        from diffpure_tpu.purify.runners import (
+            make_imagenet_diffusion, purify_guided_ddpm,
+        )
+        cfg = PurifyConfig(diffusion_type="ddpm", t=5,
+                           score_type="guided_diffusion", grad_mode="none")
+        diffusion = make_imagenet_diffusion("ddim25")
+        assert diffusion.num_timesteps == 25
+        x = jax.random.normal(key, SHAPE) * 0.5
+        out = purify_guided_ddpm(
+            TestDiscreteRunners()._eps_model_learned_sigma, PARAMS, x,
+            jax.random.fold_in(key, 1), cfg, diffusion=diffusion,
+            use_ddim=True)
+        assert out.shape == SHAPE
+        assert np.isfinite(np.asarray(out)).all()
