@@ -42,6 +42,10 @@ def eot_average(fn: Callable[[Array], object], key: Array, n: int,
         acc = jax.tree_util.tree_map(jnp.add, acc, out)
         return acc, None
 
-    init = fn(keys[0])
-    acc, _ = jax.lax.scan(body, init, keys[1:])
+    # zero-init from eval_shape: materializing fn(keys[0]) outside the scan
+    # would inline a second full copy of the defended-forward graph.
+    shapes = jax.eval_shape(fn, keys[0])
+    init = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  shapes)
+    acc, _ = jax.lax.scan(body, init, keys)
     return jax.tree_util.tree_map(lambda v: v / n, acc)
