@@ -7,9 +7,9 @@ bit-identical index selection to the reference protocol
 (ref datasets.py:319,333) so results are comparable run-to-run.
 
 Filesystem-only (zero-egress environment): CIFAR-10 reads the standard
-python-pickle batches; ImageNet reads a class-per-directory val folder
-(the LMDB cache of the reference is an on-disk speedup, not a format —
-a loader for it can consume the same keys); CelebA-HQ reads images/ +
+python-pickle batches; ImageNet reads either a class-per-directory val
+folder or the reference's LMDB cache (parsed by the pure-Python reader in
+data/lmdb_reader.py — no liblmdb dependency); CelebA-HQ reads images/ +
 list_attr_celeba.txt + list_eval_partition.txt exactly like the reference
 make_table (ref datasets.py:110-129). All outputs are NHWC float32 in [0,1].
 """
@@ -100,6 +100,40 @@ def imagenet_val_subset(root: str, num_sub: int = -1, data_seed: int = 0,
     return np.stack(xs), np.asarray(ys, dtype=np.int32)
 
 
+def imagenet_lmdb_val_subset(lmdb_path: str, num_sub: int = -1,
+                             data_seed: int = 0, base_size: int = 224
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Val subset from the reference's LMDB cache (ref datasets.py:269-326):
+    keys are the original file paths (ascii), values the raw image bytes
+    (ref lmdb_loader, datasets.py:261-265). Parsed by the pure-Python
+    reader (data/lmdb_reader.py) — no liblmdb needed. Class index = parent
+    directory's rank among sorted class dirs, matching ImageFolder; LMDB's
+    byte-sorted full-path iteration reproduces ImageFolder's
+    (sorted class, sorted filename) sample order, so the
+    RandomState(data_seed) subset indices pick identical images."""
+    import io
+    from PIL import Image
+    from diffpure_tpu.data.lmdb_reader import LMDBReader
+
+    with LMDBReader(lmdb_path) as r:
+        keys = list(r.keys())
+        def class_of(k: bytes) -> str:
+            return os.path.basename(os.path.dirname(k.decode("ascii")))
+        classes = sorted({class_of(k) for k in keys})
+        cidx = {c: i for i, c in enumerate(classes)}
+        samples = [(k, cidx[class_of(k)]) for k in keys]
+        if num_sub > 0:
+            idx = np.random.RandomState(data_seed).choice(
+                len(samples), num_sub, replace=False)
+            samples = [samples[i] for i in idx]
+        xs, ys = [], []
+        for k, ci in samples:
+            with Image.open(io.BytesIO(r[k])) as img:
+                xs.append(imval_transform(img.convert("RGB"), base_size))
+            ys.append(ci)
+    return np.stack(xs), np.asarray(ys, dtype=np.int32)
+
+
 # --------------------------------------------------------------------------
 # CelebA-HQ
 # --------------------------------------------------------------------------
@@ -166,8 +200,16 @@ def load_data(domain: str, num_sub: int, data_seed: int,
     is deterministic without coordination.
     """
     if "imagenet" in domain:
-        x, y = imagenet_val_subset(os.path.join(root, "imagenet", "val"),
-                                   num_sub=num_sub, data_seed=data_seed)
+        # prefer the reference's LMDB cache when present
+        # (<val>_faster_imagefolder.lmdb, ref datasets.py:282-283)
+        val_dir = os.path.join(root, "imagenet", "val")
+        lmdb_dir = val_dir.rstrip("/") + "_faster_imagefolder.lmdb"
+        if os.path.isdir(lmdb_dir):
+            x, y = imagenet_lmdb_val_subset(lmdb_dir, num_sub=num_sub,
+                                            data_seed=data_seed)
+        else:
+            x, y = imagenet_val_subset(val_dir, num_sub=num_sub,
+                                       data_seed=data_seed)
         return x[shard::num_shards], y[shard::num_shards]
     if "cifar10" in domain:
         x, y = cifar10_subset(root, num_sub=num_sub, data_seed=data_seed)
