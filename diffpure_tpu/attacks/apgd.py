@@ -228,20 +228,31 @@ def apgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
 
     runs = (cfg.n_target_classes if cfg.loss == "dlr-targeted"
             else cfg.n_restarts)
-    for run in range(runs):
-        if cfg.loss == "ce":
-            loss_fn = lambda logits: ce_loss(logits, y)
-        elif cfg.loss == "dlr":
-            loss_fn = lambda logits: dlr_loss(logits, y)
-        elif cfg.loss == "dlr-targeted":
-            # target = (run+2)-th most probable class (skip the top class)
-            y_t = order[:, -(run + 2)]
-            loss_fn = lambda logits, y_t=y_t: dlr_loss_targeted(logits, y, y_t)
-        else:
-            raise ValueError(cfg.loss)
+    if cfg.loss not in ("ce", "dlr", "dlr-targeted"):
+        raise ValueError(cfg.loss)
 
+    # One jitted program serves every restart/target: the target class and
+    # labels are arguments, and jit_lifted hoists the model params captured
+    # by model_fn to arguments too (a closure-jit would inline them as
+    # module constants — oversized uploads on remote-compile backends).
+    from diffpure_tpu.utils.jitlift import jit_lifted
+
+    def raw_run(xx, yy, yt, kk):
+        if cfg.loss == "ce":
+            loss_fn = lambda logits: ce_loss(logits, yy)
+        elif cfg.loss == "dlr":
+            loss_fn = lambda logits: dlr_loss(logits, yy)
+        else:
+            loss_fn = lambda logits: dlr_loss_targeted(logits, yy, yt)
+        return _apgd_single_run(model_fn, loss_fn, xx, yy, kk, cfg)
+
+    run_fn = jit_lifted(raw_run, x, y, y, key)
+
+    for run in range(runs):
+        # target = (run+2)-th most probable class (skip the top class)
+        y_t = (order[:, -(run + 2)] if cfg.loss == "dlr-targeted" else y)
         k_run = jax.random.fold_in(key, run)
-        x_adv, found, _ = _apgd_single_run(model_fn, loss_fn, x, y, k_run, cfg)
+        x_adv, found, _ = run_fn(x, y, y_t, k_run)
         if run == 0:
             # unfound slots carry the best-loss point of the first run
             x_adv_final = x_adv

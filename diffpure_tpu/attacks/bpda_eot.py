@@ -121,8 +121,12 @@ def bpda_eot_attack(purify_fn: PurifyFn, classify_fn: ClassifyFn,
     defended = np.asarray(pred0 == y)
     class_batch[0] = defended
 
-    attack_step = jax.jit(lambda xa, k: _attack_grad(
-        purify_fn, classify_fn, xa, y, k, cfg))
+    # jit_lifted: purify_fn/classify_fn close over model params — a plain
+    # jit would bake them into the module as dense constants (HTTP 413 on
+    # tunneled remote-compile backends); lifting makes them call arguments.
+    from diffpure_tpu.utils.jitlift import jit_lifted
+    attack_step = jit_lifted(lambda xa, k: _attack_grad(
+        purify_fn, classify_fn, xa, y, k, cfg), x, key)
 
     x_adv = x
     for step in range(cfg.adv_steps + 1):
