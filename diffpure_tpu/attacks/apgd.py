@@ -40,6 +40,12 @@ class APGDConfig:
     loss: str = "ce"  # 'ce' | 'dlr' | 'dlr-targeted'
     n_target_classes: int = 9  # for apgd-t
     seed: int = 0
+    # 0 = the whole run is one XLA program (fastest on dedicated TPU VMs).
+    # >0 = scan at most this many iterations per device dispatch: bounds
+    # single-execution time (remote backends kill multi-minute programs),
+    # and gives host-side progress between chunks. Same math either way —
+    # the carry round-trips on device, only dispatch overhead (~ms) is added.
+    iters_per_dispatch: int = 0
 
 
 def _checkpoints(n_iter: int):
@@ -109,13 +115,10 @@ def _init_perturbation(key: Array, x: Array, cfg: APGDConfig) -> Array:
     return jnp.clip(x_adv, 0.0, 1.0)
 
 
-def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
-                     key: Array, cfg: APGDConfig):
+def _apgd_init(model_fn: ModelFn, loss_fn, x: Array, y: Array,
+               key: Array, cfg: APGDConfig):
+    """Initial perturbation + first gradient -> the scan carry."""
     B = x.shape[0]
-    is_ckpt_np, window_np = _checkpoints(cfg.n_iter)
-    is_ckpt = jnp.asarray(is_ckpt_np)
-    window = jnp.asarray(window_np)
-
     k_init, k_loop = jax.random.split(key)
     x_adv = _init_perturbation(k_init, x, cfg)
     losses, grad, logits = _loss_and_grad(model_fn, loss_fn, x_adv,
@@ -138,6 +141,13 @@ def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
         reduced_last_check=jnp.ones((B,), bool),
         key=k_loop,
     )
+    return carry
+
+
+def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
+                    cfg: APGDConfig):
+    """The per-iteration scan body (closes over the clean center x)."""
+    B = x.shape[0]
 
     def body(carry, it):
         i, ck, win = it
@@ -200,8 +210,16 @@ def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
         new_carry = jax.lax.cond(ck, at_checkpoint, lambda c: c, new_carry)
         return new_carry, None
 
-    iters = (jnp.arange(cfg.n_iter), is_ckpt, window)
-    carry, _ = jax.lax.scan(body, carry, iters)
+    return body
+
+
+def _apgd_iters(cfg: APGDConfig):
+    is_ckpt_np, window_np = _checkpoints(cfg.n_iter)
+    return (jnp.arange(cfg.n_iter), jnp.asarray(is_ckpt_np),
+            jnp.asarray(window_np))
+
+
+def _apgd_finalize(carry):
     # flipped examples return their adversarial point; the rest return the
     # best-loss point (AA keeps both; run_standard_evaluation only consumes
     # the flipped ones, but callers probing loss progress need x_best).
@@ -209,6 +227,14 @@ def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
     x_out = jnp.where(found[:, None, None, None], carry["x_best_adv"],
                       carry["x_best"])
     return x_out, found, carry["loss_best"]
+
+
+def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
+                     key: Array, cfg: APGDConfig):
+    carry = _apgd_init(model_fn, loss_fn, x, y, key, cfg)
+    body = _apgd_make_body(model_fn, loss_fn, x, y, cfg)
+    carry, _ = jax.lax.scan(body, carry, _apgd_iters(cfg))
+    return _apgd_finalize(carry)
 
 
 def apgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
@@ -237,16 +263,44 @@ def apgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
     # module constants — oversized uploads on remote-compile backends).
     from diffpure_tpu.utils.jitlift import jit_lifted
 
-    def raw_run(xx, yy, yt, kk):
+    def make_loss(yy, yt):
         if cfg.loss == "ce":
-            loss_fn = lambda logits: ce_loss(logits, yy)
-        elif cfg.loss == "dlr":
-            loss_fn = lambda logits: dlr_loss(logits, yy)
-        else:
-            loss_fn = lambda logits: dlr_loss_targeted(logits, yy, yt)
-        return _apgd_single_run(model_fn, loss_fn, xx, yy, kk, cfg)
+            return lambda logits: ce_loss(logits, yy)
+        if cfg.loss == "dlr":
+            return lambda logits: dlr_loss(logits, yy)
+        return lambda logits: dlr_loss_targeted(logits, yy, yt)
 
-    run_fn = jit_lifted(raw_run, x, y, y, key)
+    if cfg.iters_per_dispatch <= 0:
+        def raw_run(xx, yy, yt, kk):
+            return _apgd_single_run(model_fn, make_loss(yy, yt), xx, yy, kk,
+                                    cfg)
+        run_fn = jit_lifted(raw_run, x, y, y, key)
+    else:
+        # chunked dispatch: the scan runs iters_per_dispatch iterations per
+        # device execution; the carry stays on device between dispatches.
+        def raw_init(xx, yy, yt, kk):
+            return _apgd_init(model_fn, make_loss(yy, yt), xx, yy, kk, cfg)
+
+        def raw_chunk(carry, its, xx, yy, yt):
+            body = _apgd_make_body(model_fn, make_loss(yy, yt), xx, yy, cfg)
+            carry, _ = jax.lax.scan(body, carry, its)
+            return carry
+
+        init_fn = jit_lifted(raw_init, x, y, y, key)
+        iters_all = _apgd_iters(cfg)
+        chunk_fns = {}  # by chunk length (the tail chunk may be shorter)
+
+        def run_fn(xx, yy, yt, kk):
+            carry = init_fn(xx, yy, yt, kk)
+            step = cfg.iters_per_dispatch
+            for s in range(0, cfg.n_iter, step):
+                its = tuple(a[s:s + step] for a in iters_all)
+                n = int(its[0].shape[0])
+                if n not in chunk_fns:
+                    chunk_fns[n] = jit_lifted(raw_chunk, carry, its,
+                                              xx, yy, yt)
+                carry = chunk_fns[n](carry, its, xx, yy, yt)
+            return _apgd_finalize(carry)
 
     for run in range(runs):
         # target = (run+2)-th most probable class (skip the top class)

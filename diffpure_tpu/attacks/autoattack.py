@@ -41,6 +41,8 @@ class AutoAttackConfig:
     apgd_n_restarts: int = 1
     apgd_t_n_target_classes: int = 9
     seed: int = 0
+    # bound APGD single-dispatch length (see APGDConfig.iters_per_dispatch)
+    apgd_iters_per_dispatch: int = 0
 
 
 class AutoAttack:
@@ -65,17 +67,20 @@ class AutoAttack:
         if name == "apgd-ce":
             a = APGDConfig(norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter,
                            n_restarts=cfg.apgd_n_restarts,
-                           eot_iter=cfg.eot_iter, loss="ce")
+                           eot_iter=cfg.eot_iter, loss="ce",
+                           iters_per_dispatch=cfg.apgd_iters_per_dispatch)
             return apgd_attack(self.model_fn, x, y, key, a)
         if name == "apgd-dlr":
             a = APGDConfig(norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter,
                            n_restarts=cfg.apgd_n_restarts,
-                           eot_iter=cfg.eot_iter, loss="dlr")
+                           eot_iter=cfg.eot_iter, loss="dlr",
+                           iters_per_dispatch=cfg.apgd_iters_per_dispatch)
             return apgd_attack(self.model_fn, x, y, key, a)
         if name == "apgd-t":
             a = APGDConfig(norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter,
                            eot_iter=cfg.eot_iter, loss="dlr-targeted",
-                           n_target_classes=cfg.apgd_t_n_target_classes)
+                           n_target_classes=cfg.apgd_t_n_target_classes,
+                           iters_per_dispatch=cfg.apgd_iters_per_dispatch)
             return apgd_attack(self.model_fn, x, y, key, a)
         if name == "fab-t":
             a = FABConfig(norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter,

@@ -180,7 +180,8 @@ def main(argv=None):
         attack_kwargs = dict(norm=args.lp_norm, eps=args.adv_eps,
                              eot_iter=(args.eot_iter
                                        if args.attack_version == "rand"
-                                       else 1))
+                                       else 1),
+                             apgd_iters_per_dispatch=args.apgd_dispatch_iters)
     elif args.attack_version == "stadv":
         attack_kwargs = dict(bound=args.adv_eps, n_iter=100,
                              eot_iter=args.eot_iter)

@@ -410,3 +410,27 @@ class TestBrownianReplay:
         # variance ~ dt
         big = brownian_increment(key, jnp.asarray(0), (20000,), 0.01)
         assert abs(float(jnp.var(big)) - 0.01) < 0.002
+
+
+class TestAPGDChunkedDispatch:
+    def test_chunked_equals_one_program(self, linear_setup, key):
+        """iters_per_dispatch must not change the math: same keys, same
+        trajectory, bit-equal outputs vs the single-program run (including
+        a tail chunk: 50 iters in chunks of 7)."""
+        model_fn, x, y, W = linear_setup
+        base = dict(norm="Linf", eps=0.1, n_iter=50, loss="ce")
+        x1, f1 = apgd_attack(model_fn, x, y, key, APGDConfig(**base))
+        x2, f2 = apgd_attack(model_fn, x, y, key,
+                             APGDConfig(**base, iters_per_dispatch=7))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+    def test_chunked_targeted(self, linear_setup, key):
+        model_fn, x, y, W = linear_setup
+        base = dict(norm="L2", eps=0.5, n_iter=20, loss="dlr-targeted",
+                    n_target_classes=2)
+        x1, f1 = apgd_attack(model_fn, x, y, key, APGDConfig(**base))
+        x2, f2 = apgd_attack(model_fn, x, y, key,
+                             APGDConfig(**base, iters_per_dispatch=8))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
