@@ -32,6 +32,10 @@ class StAdvConfig:
     lr: float = 0.01
     eot_iter: int = 1
     kappa: float = float("inf")
+    # >0: scan at most this many iterations per device dispatch (bounds
+    # single-execution time on remote backends; same math, carry stays on
+    # device). 0 = whole attack in one scan program.
+    iters_per_dispatch: int = 0
 
     @property
     def flow_loss_coef(self) -> float:
@@ -123,8 +127,28 @@ def stadv_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
         return (grid, opt_state, best_grid, best_score), None
 
     init = (grid, opt_state, grid, jnp.full((B,), jnp.inf))
-    (grid, _, best_grid, _), _ = jax.lax.scan(body, init,
-                                              jnp.arange(cfg.n_iter))
+    if cfg.iters_per_dispatch <= 0:
+        (grid, _, best_grid, _), _ = jax.lax.scan(body, init,
+                                                  jnp.arange(cfg.n_iter))
+    else:
+        # bounded dispatches: jit_lifted hoists the closures' arrays
+        # (x, y, key, model params) to arguments
+        from diffpure_tpu.utils.jitlift import jit_lifted
+
+        def raw_chunk(carry, idxs):
+            carry, _ = jax.lax.scan(body, carry, idxs)
+            return carry
+
+        carry = init
+        chunk_fns = {}
+        step = cfg.iters_per_dispatch
+        for s in range(0, cfg.n_iter, step):
+            idxs = jnp.arange(s, min(s + step, cfg.n_iter))
+            n = int(idxs.shape[0])
+            if n not in chunk_fns:
+                chunk_fns[n] = jit_lifted(raw_chunk, carry, idxs)
+            carry = chunk_fns[n](carry, idxs)
+        grid, _, best_grid, _ = carry
 
     g_final = _constrain(best_grid, ident, cfg.bound)
     x_adv = grid_sample(x, g_final)

@@ -181,10 +181,11 @@ def main(argv=None):
                              eot_iter=(args.eot_iter
                                        if args.attack_version == "rand"
                                        else 1),
-                             apgd_iters_per_dispatch=args.apgd_dispatch_iters)
+                             apgd_iters_per_dispatch=args.attack_dispatch_iters)
     elif args.attack_version == "stadv":
         attack_kwargs = dict(bound=args.adv_eps, n_iter=100,
-                             eot_iter=args.eot_iter)
+                             eot_iter=args.eot_iter,
+                             iters_per_dispatch=args.attack_dispatch_iters)
     elif args.attack_version == "bpda":
         attack_kwargs = dict(adv_eps=args.adv_eps, adv_eta=args.adv_eta,
                              adv_steps=args.adv_steps,

@@ -82,10 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eot_defense_reps", type=int, default=150)
     p.add_argument("--eot_attack_reps", type=int, default=15)
     # grad mode (TPU extension)
-    p.add_argument("--apgd_dispatch_iters", type=int, default=0,
-                   help="scan at most N APGD iters per device dispatch "
-                        "(0 = whole run in one program); bounds "
-                        "single-execution time on remote TPU backends")
+    p.add_argument("--attack_dispatch_iters", type=int, default=0,
+                   help="scan at most N attack iters (APGD/StAdv) per "
+                        "device dispatch (0 = whole run in one program); "
+                        "bounds single-execution time on remote TPU "
+                        "backends")
     p.add_argument("--grad_mode", type=str, default="checkpoint",
                    choices=["checkpoint", "adjoint", "none"])
     return p

@@ -434,3 +434,16 @@ class TestAPGDChunkedDispatch:
                              APGDConfig(**base, iters_per_dispatch=8))
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+
+class TestStAdvChunkedDispatch:
+    def test_chunked_equals_one_program(self, linear_setup, key):
+        model_fn0, x, y, W = linear_setup
+        model_fn = make_linear_model(np.asarray(W) * 0.15)
+        y = jnp.argmax(model_fn(x, None), -1)
+        base = dict(bound=0.5, n_iter=25, lr=0.05)
+        x1, f1 = stadv_attack(model_fn, x, y, key, StAdvConfig(**base))
+        x2, f2 = stadv_attack(model_fn, x, y, key,
+                              StAdvConfig(**base, iters_per_dispatch=7))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
