@@ -145,6 +145,7 @@ def main(argv=None):
         t_delta=args.t_delta, sample_step=args.sample_step,
         score_type=args.score_type, step_size=args.step_size,
         sigma2=args.sigma2, lambda_ld=args.lambda_ld, eta=args.eta,
+        n_steps=args.solver_steps,
         grad_mode=("none" if args.attack_version == "bpda"
                    else args.grad_mode))
 

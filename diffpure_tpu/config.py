@@ -55,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t_delta", type=int, default=15)
     p.add_argument("--rand_t", action="store_true")
     p.add_argument("--diffusion_type", type=str, default="sde",
-                   choices=["sde", "ode", "ldsde", "ddpm", "celebahq-ddpm"])
+                   choices=["sde", "ode", "ldsde", "ddpm", "celebahq-ddpm",
+                            "dpm"])  # dpm = DPM-Solver++ (TPU extension)
     p.add_argument("--score_type", type=str, default="guided_diffusion",
                    choices=["guided_diffusion", "score_sde"])
     p.add_argument("--eot_iter", type=int, default=20)
@@ -82,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eot_defense_reps", type=int, default=150)
     p.add_argument("--eot_attack_reps", type=int, default=15)
     # grad mode (TPU extension)
+    p.add_argument("--solver_steps", type=int, default=None,
+                   help="score evals for the accelerated solvers "
+                        "(diffusion_type=dpm); default = t")
     p.add_argument("--attack_dispatch_iters", type=int, default=0,
                    help="scan at most N attack iters (APGD/StAdv) per "
                         "device dispatch (0 = whole run in one program); "
