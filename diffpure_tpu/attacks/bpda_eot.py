@@ -84,6 +84,15 @@ def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig):
 
     (_, logits), g = jax.value_and_grad(loss, has_aux=True)(purified)
     B = x.shape[0]
+    if purified.shape[1:3] != x_rep.shape[1:3]:
+        # the purifier runs at a different resolution (ImageNet: classifier
+        # 224, diffusion 256 — DefendedModel.purify's bilinear upsize).
+        # BPDA treats the purifier as identity but the resize is a known
+        # linear map, so pull the gradient back through its exact adjoint.
+        _, resize_vjp = jax.vjp(
+            lambda xx: jax.image.resize(xx, purified.shape, "bilinear"),
+            x_rep)
+        g = resize_vjp(g)[0]
     grad = g.reshape((n, B) + x.shape[1:]).mean(axis=0)  # identity-jacobian
     probs = jax.nn.softmax(logits, -1).reshape(n, B, -1).mean(axis=0)
     correct = jnp.argmax(probs, -1) == y

@@ -107,3 +107,27 @@ class TestJitLifted:
         # the run body traces at most twice (closure_convert + jit), not
         # once per target class
         assert sum(traces) <= 4 * 2 + 1, f"model traced {sum(traces)}x"
+
+    def test_bpda_with_resizing_purifier(self, key):
+        """ImageNet shape: classifier at 224-like res, purifier upsizes
+        (DefendedModel.resize_to). The BPDA gradient must come back at the
+        input size via the resize adjoint."""
+        from diffpure_tpu.attacks.bpda_eot import (
+            bpda_eot_attack, BPDAEOTConfig)
+        W = jax.random.normal(key, (8 * 8 * 3, 4))
+
+        def purify_fn(x, k):
+            B, H, Wd, C = x.shape
+            up = jax.image.resize(x, (B, 8, 8, C), "bilinear")
+            return up + 0.01 * jax.random.normal(k, up.shape)
+
+        classify_fn = lambda x: x.reshape(x.shape[0], -1) @ W
+        x = jax.random.uniform(jax.random.fold_in(key, 1), (2, 4, 4, 3))
+        y = jnp.argmax(classify_fn(purify_fn(x, key)), -1)
+        cfg = BPDAEOTConfig(adv_eps=0.3, adv_eta=0.1, adv_steps=2,
+                            eot_defense_reps=2, eot_attack_reps=2)
+        x_adv, class_batch = bpda_eot_attack(purify_fn, classify_fn, x, y,
+                                             jax.random.fold_in(key, 2), cfg)
+        assert x_adv.shape == x.shape
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= 0.3 + 1e-6
+        assert class_batch.shape == (4, 2)
