@@ -92,7 +92,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "bounds single-execution time on remote TPU "
                         "backends")
     p.add_argument("--grad_mode", type=str, default="checkpoint",
-                   choices=["checkpoint", "adjoint", "none"])
+                   choices=["checkpoint", "adjoint", "reversible", "none"])
     return p
 
 

@@ -53,6 +53,8 @@ class PurifyConfig:
     # gradients through purification:
     #   'checkpoint' - exact backprop via rematerialized scan (default)
     #   'adjoint'    - O(1)-memory adjoint (torchsde-equivalent)
+    #   'reversible' - reversible Heun (arXiv:2105.13493): exact O(1)-memory
+    #                  gradients + 2nd-order drift (sde runner only)
     #   'none'       - stop_gradient (BPDA purifiers)
     grad_mode: str = "checkpoint"
 

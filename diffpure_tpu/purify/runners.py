@@ -119,6 +119,14 @@ def purify_sde(model_fn: ModelFn, params, x: Array, key: Array,
         if cfg.grad_mode == "adjoint":
             x_pure = sdeint_em_adjoint(drift_flipped, diffusion_flipped,
                                        params, xt, t0, t1, n_steps, k_bm)
+        elif cfg.grad_mode == "reversible":
+            # reversible Heun (arXiv:2105.13493): exact O(1)-memory
+            # gradients via algebraic trajectory reversal; also 2nd-order
+            # in the drift (Euler is 1st) — see solvers/reversible.py
+            from diffpure_tpu.solvers.reversible import sdeint_reversible_heun
+            x_pure = sdeint_reversible_heun(drift_flipped, diffusion_flipped,
+                                            params, xt, t0, t1, n_steps,
+                                            k_bm)
         else:
             x_pure = sdeint_em(
                 lambda xx, tt: drift_flipped(params, xx, tt),
