@@ -2,11 +2,10 @@ from diffpure_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     replicate,
-    data_parallel_call,
     eot_fold,
     eot_unfold,
     initialize_distributed,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_call",
+__all__ = ["make_mesh", "shard_batch", "replicate",
            "eot_fold", "eot_unfold", "initialize_distributed"]

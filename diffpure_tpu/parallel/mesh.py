@@ -37,14 +37,27 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
 def make_mesh(data: Optional[int] = None, eot: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """('data', 'eot') mesh over the available devices."""
+    """('data', 'eot') mesh over the available devices.
+
+    When asked for more devices than the default platform exposes (e.g. an
+    8-device mesh on a 1-chip host), falls back to the virtual CPU platform —
+    useful only if xla_force_host_platform_device_count was set before the
+    CPU backend initialized (tests/conftest.py recipe).
+    """
     if devices is None:
         devices = jax.devices()
+        if data is not None and data * eot > len(devices):
+            cpu = jax.devices("cpu")
+            if len(cpu) >= data * eot:
+                devices = cpu[: data * eot]
     n = len(devices)
     if data is None:
         assert n % eot == 0, (n, eot)
         data = n // eot
-    assert data * eot == n, (data, eot, n)
+    assert data * eot == n, (
+        f"mesh wants {data}x{eot} devices but only {n} available "
+        f"(set XLA_FLAGS=--xla_force_host_platform_device_count before "
+        f"backend init for a virtual CPU mesh)")
     dev_array = np.asarray(devices).reshape(data, eot)
     return Mesh(dev_array, axis_names=("data", "eot"))
 
@@ -70,24 +83,3 @@ def eot_fold(x: Array, eot: int) -> Array:
 def eot_unfold(v: Array, eot: int) -> Array:
     """(eot*B, ...) -> (eot, B, ...)."""
     return v.reshape((eot, -1) + v.shape[1:])
-
-
-def data_parallel_call(fn: Callable, mesh: Mesh, *,
-                       batch_axes: str = ("data", "eot")) -> Callable:
-    """jit fn with its first array argument sharded over the flattened
-    (data, eot) axes and outputs sharded the same way.
-
-    fn(x, *rest) -> y with leading batch axis preserved. Params and other
-    operands are replicated; XLA partitions the model computation and emits
-    the collectives.
-    """
-    in_spec = P(batch_axes)
-    sharding = NamedSharding(mesh, in_spec)
-
-    jitted = jax.jit(fn, in_shardings=(sharding,) + (None,),
-                     out_shardings=sharding)
-
-    def call(x, arg):
-        return jitted(x, arg)
-
-    return call
