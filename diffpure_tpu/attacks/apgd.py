@@ -3,11 +3,17 @@
 Faithful JAX reimplementation of AutoAttack's APGD (the torch-only upstream
 dependency; SURVEY.md §2.7/§7.4.3): Linf/L2 steps, alpha=0.75 momentum,
 checkpoint schedule p_{j+1} = p_j + max(p_j - p_{j-1} - 0.03, 0.06) starting
-(0, 0.22), oscillation-based step halving with best-point restart, and the
-CE / DLR / targeted-DLR losses. EOT (the Rand protocol, eot_iter=20,
-ref eval_sde_adv.py:103-110) averages gradients AND losses over fresh
-defense noise (the upstream bookkeeping uses the last EOT sample's loss; the
-mean is the lower-variance estimator of the same quantity).
+(0, 0.22) with checkpoints fired where upstream fires them (after the
+k-th iteration since the last check), oscillation halving with upstream's
+exact `t <= k*0.75` boundary and zero-initialized loss history, and the
+CE / DLR / targeted-DLR losses. Trajectory equality with a hand-coded
+upstream-faithful loop is asserted in tests/test_apgd_parity.py.
+
+EOT (the Rand protocol, eot_iter=20, ref eval_sde_adv.py:103-110):
+gradients are always EOT-averaged. `eot_loss` selects the loss/logits
+bookkeeping: "last" (default) is upstream-exact — the last EOT sample's
+loss drives best-point/halving decisions; "mean" uses the EOT-mean loss,
+a lower-variance estimator of the same quantity (documented extension).
 
 The whole attack is one lax.scan -> a single XLA program per restart; the
 per-example dynamic state (step size, improvement counters, best points) is
@@ -38,6 +44,7 @@ class APGDConfig:
     rho: float = 0.75
     eot_parallel: bool = False  # vmap EOT reps (shard over an 'eot' mesh axis)
     loss: str = "ce"  # 'ce' | 'dlr' | 'dlr-targeted'
+    eot_loss: str = "last"  # 'last' (upstream-exact) | 'mean' (extension)
     n_target_classes: int = 9  # for apgd-t
     seed: int = 0
     # 0 = the whole run is one XLA program (fastest on dedicated TPU VMs).
@@ -49,7 +56,13 @@ class APGDConfig:
 
 
 def _checkpoints(n_iter: int):
-    """AutoAttack's decreasing checkpoint schedule."""
+    """AutoAttack's decreasing checkpoint schedule.
+
+    Upstream increments its counter *before* the check, so the first
+    checkpoint fires after iteration n_iter_2 - 1 (0-based), the next
+    after the following interval, etc. — is_ckpt marks those positions;
+    window carries the just-elapsed interval k for the oscillation count.
+    """
     n_iter_2 = max(int(0.22 * n_iter), 1)
     n_iter_min = max(int(0.06 * n_iter), 1)
     size_decr = max(int(0.03 * n_iter), 1)
@@ -62,9 +75,9 @@ def _checkpoints(n_iter: int):
     window = np.zeros(n_iter, dtype=np.int32)
     prev = 0
     for c in ckpts:
-        if c < n_iter:
-            is_ckpt[c] = True
-            window[c] = c - prev
+        if c - 1 < n_iter:
+            is_ckpt[c - 1] = True
+            window[c - 1] = c - prev
             prev = c
     return is_ckpt, window
 
@@ -83,10 +96,16 @@ def _project(x0: Array, z: Array, eps: float, norm: str) -> Array:
 
 
 def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
-                   eot_iter: int, eot_parallel: bool = False):
-    """EOT-averaged (loss, grad, mean-logits) via a scan over EOT keys
-    (one traced copy of the defended forward regardless of eot_iter)."""
-    from diffpure_tpu.attacks.eot import eot_average
+                   eot_iter: int, eot_parallel: bool = False,
+                   eot_loss: str = "last"):
+    """(losses, grad, logits) with the gradient EOT-averaged over fresh keys
+    (one traced copy of the defended forward regardless of eot_iter).
+
+    eot_loss='last': losses/logits from the final EOT sample (upstream
+    autoattack's bookkeeping — its EOT loop overwrites loss_indiv/logits
+    each rep and only accumulates grad). 'mean': EOT-mean losses/logits.
+    """
+    from diffpure_tpu.attacks.eot import eot_average, eot_keys
 
     def single(k):
         def f(xx):
@@ -96,9 +115,29 @@ def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
         (_, (losses, logits)), g = jax.value_and_grad(f, has_aux=True)(x)
         return losses, g, logits
 
-    losses, grads, logits = eot_average(single, key, eot_iter,
-                                        parallel=eot_parallel)
-    return losses, grads, logits
+    if eot_iter == 1 or eot_loss == "mean":
+        return eot_average(single, key, eot_iter, parallel=eot_parallel)
+    if eot_loss != "last":
+        raise ValueError(eot_loss)
+
+    keys = eot_keys(key, eot_iter)
+    if eot_parallel:
+        losses, grads, logits = jax.vmap(single)(keys)
+        grad = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
+        return losses[-1], grad, logits[-1]
+
+    shapes = jax.eval_shape(single, keys[0])
+    init = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  shapes)
+
+    def body(carry, k):
+        losses, g, logits = single(k)
+        g_acc = jax.tree_util.tree_map(jnp.add, carry[1], g)
+        return (losses, g_acc, logits), None
+
+    (losses, g_acc, logits), _ = jax.lax.scan(body, init, keys)
+    grad = jax.tree_util.tree_map(lambda v: v / eot_iter, g_acc)
+    return losses, grad, logits
 
 
 def _init_perturbation(key: Array, x: Array, cfg: APGDConfig) -> Array:
@@ -123,7 +162,8 @@ def _apgd_init(model_fn: ModelFn, loss_fn, x: Array, y: Array,
     x_adv = _init_perturbation(k_init, x, cfg)
     losses, grad, logits = _loss_and_grad(model_fn, loss_fn, x_adv,
                                           jax.random.fold_in(k_loop, 2**31 - 1),
-                                          cfg.eot_iter, cfg.eot_parallel)
+                                          cfg.eot_iter, cfg.eot_parallel,
+                                          cfg.eot_loss)
     pred_ok = jnp.argmax(logits, -1) == y
 
     # AA uses 2*eps initial step for both norms (L2 grad is normalized).
@@ -136,7 +176,10 @@ def _apgd_init(model_fn: ModelFn, loss_fn, x: Array, y: Array,
         found=~pred_ok,
         step_size=step_size,
         n_improve=jnp.zeros((B,), jnp.int32),
-        loss_prev=losses,
+        # upstream's loss_steps buffer starts zeroed, so the first window's
+        # oldest comparison is (loss[0] > 0), not (loss[0] > init_loss) —
+        # replicated for bit-exact checkpoint decisions.
+        loss_prev=jnp.zeros_like(losses),
         loss_best_last_check=losses,
         reduced_last_check=jnp.ones((B,), bool),
         key=k_loop,
@@ -145,7 +188,7 @@ def _apgd_init(model_fn: ModelFn, loss_fn, x: Array, y: Array,
 
 
 def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
-                    cfg: APGDConfig):
+                    cfg: APGDConfig, collect_trajectory: bool = False):
     """The per-iteration scan body (closes over the clean center x)."""
     B = x.shape[0]
 
@@ -171,7 +214,8 @@ def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
         key = jax.random.fold_in(carry["key"], i)
         losses, new_grad, logits = _loss_and_grad(model_fn, loss_fn, x1,
                                                   key, cfg.eot_iter,
-                                                  cfg.eot_parallel)
+                                                  cfg.eot_parallel,
+                                                  cfg.eot_loss)
         pred_wrong = jnp.argmax(logits, -1) != y
         found = carry["found"] | pred_wrong
         x_best_adv = jnp.where(pred_wrong[:, None, None, None], x1,
@@ -188,7 +232,8 @@ def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
 
         # --- checkpoint: step halving -------------------------------------
         def at_checkpoint(c):
-            osc = c["n_improve"] < jnp.ceil(cfg.rho * win).astype(jnp.int32)
+            # upstream check_oscillation: halve when t <= k * rho (inclusive)
+            osc = c["n_improve"].astype(jnp.float32) <= cfg.rho * win
             no_impr = (~c["reduced_last_check"]) & (
                 c["loss_best_last_check"] >= loss_best)
             halve = osc | no_impr
@@ -208,7 +253,10 @@ def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
                          grad_best=grad_best, x_best_adv=x_best_adv,
                          found=found, n_improve=n_improve, loss_prev=losses)
         new_carry = jax.lax.cond(ck, at_checkpoint, lambda c: c, new_carry)
-        return new_carry, None
+        ys = (dict(losses=losses, loss_best=loss_best,
+                   step_size=new_carry["step_size"][:, 0, 0, 0])
+              if collect_trajectory else None)
+        return new_carry, ys
 
     return body
 
@@ -230,10 +278,13 @@ def _apgd_finalize(carry):
 
 
 def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
-                     key: Array, cfg: APGDConfig):
+                     key: Array, cfg: APGDConfig,
+                     collect_trajectory: bool = False):
     carry = _apgd_init(model_fn, loss_fn, x, y, key, cfg)
-    body = _apgd_make_body(model_fn, loss_fn, x, y, cfg)
-    carry, _ = jax.lax.scan(body, carry, _apgd_iters(cfg))
+    body = _apgd_make_body(model_fn, loss_fn, x, y, cfg, collect_trajectory)
+    carry, traj = jax.lax.scan(body, carry, _apgd_iters(cfg))
+    if collect_trajectory:
+        return _apgd_finalize(carry) + (traj,)
     return _apgd_finalize(carry)
 
 

@@ -32,6 +32,11 @@ from diffpure_tpu.ops.groupnorm import group_norm_silu, \
 
 Array = jax.Array
 
+# Python float (weakly typed): keeps bf16 activations bf16. A numpy scalar
+# here would silently promote every skip-rescale output to float32, forcing
+# full-size fp32 materializations through the bf16 torso.
+INV_SQRT2 = float(1.0 / np.sqrt(2.0))
+
 # Fused GroupNorm+SiLU Pallas path (one read+write per feature map).
 # Off by default for bit-parity with the jnp chain; enable with
 # set_fused_gn_silu(True) (bench/serving configs).
@@ -209,7 +214,7 @@ class AttnBlockpp(nn.Module):
         h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * INV_SQRT2
 
 
 class FIRConv2d(nn.Module):
@@ -338,7 +343,7 @@ class ResnetBlockDDPMpp(nn.Module):
                 x = NIN(out_ch, name="NIN_0")(x)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * INV_SQRT2
 
 
 class ResnetBlockBigGANpp(nn.Module):
@@ -393,4 +398,4 @@ class ResnetBlockBigGANpp(nn.Module):
             x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * INV_SQRT2

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffpure_tpu.models.layers import (
+    INV_SQRT2,
     AttnBlockpp,
     Combine,
     DownsampleLayer,
@@ -180,7 +181,7 @@ class NCSNpp(nn.Module):
                         fir_kernel=self.fir_kernel,
                         name=next_name())(input_pyramid)
                     if self.skip_rescale:
-                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                        input_pyramid = (input_pyramid + h) * INV_SQRT2
                     else:
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
@@ -241,7 +242,7 @@ class NCSNpp(nn.Module):
                             fir_kernel=self.fir_kernel,
                             name=next_name())(pyramid)
                         if self.skip_rescale:
-                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                            pyramid = (pyramid + h) * INV_SQRT2
                         else:
                             pyramid = pyramid + h
                         h = pyramid

@@ -387,14 +387,17 @@ class TestAutoAttackSuite:
 
 class TestAPGDSchedule:
     def test_checkpoint_positions_match_autoattack(self):
-        """n_iter=100 checkpoints: 22, 41, 57, 70, 80, 87, 93, 99 (the
-        p_{j+1} = p_j + max(p_j - p_{j-1} - 0.03, 0.06) schedule)."""
+        """n_iter=100 checkpoint *values* 22, 41, 57, 70, 80, 87, 93, 99
+        (the p_{j+1} = p_j + max(p_j - p_{j-1} - 0.03, 0.06) schedule);
+        upstream's counter fires after the k-th iteration, i.e. at 0-based
+        iteration value-1 (see test_apgd_parity.py for the trajectory
+        proof)."""
         from diffpure_tpu.attacks.apgd import _checkpoints
         is_ckpt, window = _checkpoints(100)
         positions = list(np.where(is_ckpt)[0])
-        assert positions == [22, 41, 57, 70, 80, 87, 93, 99], positions
-        # windows are the gaps between consecutive checkpoints
-        assert window[22] == 22 and window[41] == 19 and window[99] == 6
+        assert positions == [21, 40, 56, 69, 79, 86, 92, 98], positions
+        # windows are the gaps between consecutive checkpoint values
+        assert window[21] == 22 and window[40] == 19 and window[98] == 6
 
 
 class TestBrownianReplay:
