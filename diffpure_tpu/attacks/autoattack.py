@@ -95,34 +95,52 @@ class AutoAttack:
     def run_standard_evaluation(self, x: Array, y: Array, key: Array,
                                 bs: Optional[int] = None
                                 ) -> Tuple[Array, Array]:
-        """Returns (x_adv, robust_flags). Attacks run sequentially on the
-        still-robust subset (flag protocol of upstream autoattack). With
-        `bs`, examples are processed in fixed-size chunks (upstream's
-        minibatching; keeps the attack program at one static shape)."""
+        """Returns (x_adv, robust_flags).
+
+        Upstream's robust_flags protocol: each attack phase gathers the
+        still-robust subset and attacks ONLY those examples (re-attacking
+        fallen ones is pure waste at ~15 chip-hours per APGD phase). The
+        subset is padded to a static power-of-two bucket (capped at `bs`)
+        so shrinking robust counts reuse a handful of compiled programs
+        instead of recompiling per count.
+        """
         logits = self.model_fn(x, jax.random.fold_in(key, 7))
         robust = np.asarray(jnp.argmax(logits, -1) == y).copy()
         self.log(f"initial accuracy: {robust.mean():.2%}")
-        x_adv = np.asarray(x).copy()
+        x_np = np.asarray(x)
+        y_np = np.asarray(y)
+        x_adv = x_np.copy()
         n = x.shape[0]
         bs = bs or n
+        self.phase_batch_sizes: List[int] = []  # per phase: examples attacked
 
         for i, name in enumerate(self.attacks):
-            if not robust.any():
+            idx = np.nonzero(robust)[0]
+            if idx.size == 0:
                 break
             t0 = time.time()
-            for start in range(0, n, bs):
-                sl = slice(start, min(start + bs, n))
+            self.phase_batch_sizes.append(int(idx.size))
+            bucket = min(bs, _next_pow2(idx.size))
+            for start in range(0, idx.size, bucket):
+                take = idx[start:start + bucket]
+                pad = bucket - take.size  # pad final chunk with duplicates
+                sel = np.concatenate([take, take[:1].repeat(pad)]) \
+                    if pad else take
                 xa, found = self._run_one(
-                    name, x[sl], y[sl],
+                    name, jnp.asarray(x_np[sel]), jnp.asarray(y_np[sel]),
                     jax.random.fold_in(key, i * 1000 + start))
-                xa = np.asarray(xa)
-                found = np.asarray(found)
-                newly = robust[sl] & found
-                chunk = x_adv[sl]
-                chunk[newly] = xa[newly]
-                x_adv[sl] = chunk
-                robust[sl] = robust[sl] & ~found
+                xa = np.asarray(xa)[:take.size]
+                found = np.asarray(found)[:take.size]
+                x_adv[take[found]] = xa[found]
+                robust[take[found]] = False
             self.log(f"{name}: robust accuracy {robust.mean():.2%} "
-                     f"({time.time() - t0:.1f}s)")
+                     f"(attacked {idx.size}, {time.time() - t0:.1f}s)")
 
         return jnp.asarray(x_adv), jnp.asarray(robust)
+
+
+def _next_pow2(k: int) -> int:
+    p = 1
+    while p < k:
+        p *= 2
+    return p

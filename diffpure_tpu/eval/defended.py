@@ -42,6 +42,7 @@ class DefendedModel:
 
     def __post_init__(self):
         self._counter = 0
+        self._dump_count = 0
         self._t0 = None
 
     # --- modes (ref eval_sde_adv_bpda.py:108-118) --------------------------
@@ -56,10 +57,10 @@ class DefendedModel:
         x = (x - 0.5) * 2.0  # [0,1] -> [-1,1] (ref eval_sde_adv.py:78)
         x_pure = purify(self.score_model_fn, self.score_params, x, key,
                         self.purify_cfg)
-        if self.debug_dir is not None and self._counter < 2:
-            from diffpure_tpu.utils.images import dump_purification_debug
-            dump_purification_debug(self.debug_dir, self._counter, self.tag,
-                                    x_input=x, x_purified=x_pure)
+        if self.debug_dir is not None:
+            # runtime-gated host callback: fires on actual executions (also
+            # inside jitted attack loops), dumps only the first 2 on host
+            jax.debug.callback(self._host_dump, x, x_pure)
         return (x_pure + 1.0) * 0.5
 
     def classify(self, x01: Array) -> Array:
@@ -67,20 +68,34 @@ class DefendedModel:
 
     def __call__(self, x01: Array, key: Array) -> Array:
         """purify_and_classify — the attack surface."""
-        self._tick(x01)
+        if self.log_every:
+            # host callback, not a Python counter: a Python-side tick would
+            # freeze at trace time inside compiled attack scans — this one
+            # fires once per runtime execution (ref eval_sde_adv.py:57-91)
+            shape = tuple(x01.shape)
+            jax.debug.callback(lambda: self._host_tick(shape))
         return self.classify(self.purify(x01, key))
 
-    def _tick(self, x01):
+    def _host_tick(self, shape):
         if self._t0 is None:
             self._t0 = time.time()
         self._counter += 1
         if self._counter % self.log_every == 0:
             dt = time.time() - self._t0
             print(f"[{self.tag}] diffusion calls: {self._counter}, "
-                  f"shape {tuple(x01.shape)}, {dt:.1f}s elapsed")
+                  f"shape {shape}, {dt:.1f}s elapsed")
+
+    def _host_dump(self, x, x_pure):
+        if self._dump_count >= 2:  # ref dumps bs_id < 2 (diffpure_sde.py:210)
+            return
+        from diffpure_tpu.utils.images import dump_purification_debug
+        dump_purification_debug(self.debug_dir, self._dump_count, self.tag,
+                                x_input=x, x_purified=x_pure)
+        self._dump_count += 1
 
     def reset_counter(self):
         self._counter = 0
+        self._dump_count = 0
         self._t0 = None
 
 

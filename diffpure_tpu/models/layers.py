@@ -48,6 +48,26 @@ def set_fused_gn_silu(enable: bool) -> None:
     _FUSED_GN_SILU = enable
 
 
+# Whole-resblock Pallas fusion (ops/fused_resblock.py): the BigGAN block
+# runs as one VMEM-resident kernel (eval mode, no up/down). "auto" enables
+# it on TPU backends; True forces (interpret on CPU — tests only).
+_FUSED_RESBLOCK = "auto"
+
+
+def set_fused_resblock(mode) -> None:
+    """mode: True | False | 'auto' (TPU only)."""
+    global _FUSED_RESBLOCK
+    _FUSED_RESBLOCK = mode
+
+
+def _fused_resblock_active() -> bool:
+    if _FUSED_RESBLOCK is True:
+        return True
+    if _FUSED_RESBLOCK == "auto":
+        return jax.default_backend() == "tpu"
+    return False
+
+
 class GNSiLU(nn.Module):
     """GroupNorm+SiLU with the same param names as GroupNormTorch, so the
     fused and unfused paths share checkpoints."""
@@ -127,6 +147,69 @@ class GroupNormTorch(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,))
         return group_norm(x, scale.astype(x.dtype), bias.astype(x.dtype),
                           self.num_groups, self.eps)
+
+
+class GroupNormP(nn.Module):
+    """GroupNormTorch with setup-defined params so fused kernels can read
+    `.scale`/`.bias` directly (same names/shapes -> same checkpoints)."""
+    channels: int
+    num_groups: int
+    eps: float = 1e-6
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.channels,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.channels,))
+
+    def __call__(self, x: Array) -> Array:
+        return group_norm(x, self.scale.astype(x.dtype),
+                          self.bias.astype(x.dtype), self.num_groups,
+                          self.eps)
+
+
+class Conv2dP(nn.Module):
+    """SAME conv with setup-defined params (`kernel` HWIO / `bias`), numerics
+    matching flax nn.Conv with dtype= (inputs/kernel/bias cast to dtype)."""
+    in_ch: int
+    features: int
+    ksize: int = 3
+    init_scale: float = 1.0
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", ddpm_init(self.init_scale),
+            (self.ksize, self.ksize, self.in_ch, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x: Array) -> Array:
+        cdt = self.dtype or x.dtype
+        pad = self.ksize // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdt), self.kernel.astype(cdt), (1, 1),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + self.bias.astype(cdt)
+
+
+class DenseP(nn.Module):
+    """Dense with setup-defined params, numerics matching flax nn.Dense."""
+    in_features: int
+    features: int
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.kernel = self.param("kernel", ddpm_init(),
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x: Array) -> Array:
+        cdt = self.dtype or x.dtype
+        return x.astype(cdt) @ self.kernel.astype(cdt) \
+            + self.bias.astype(cdt)
 
 
 class NIN(nn.Module):
@@ -365,10 +448,37 @@ class ResnetBlockBigGANpp(nn.Module):
                  deterministic: bool = True) -> Array:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = GNSiLU(ncsn_num_groups(in_ch), eps=1e-6,
-                   name="GroupNorm_0")(x) if self.act is nn.swish else \
-            self.act(GroupNormTorch(ncsn_num_groups(in_ch), eps=1e-6,
-                                    name="GroupNorm_0")(x))
+        g1, g2 = ncsn_num_groups(in_ch), ncsn_num_groups(out_ch)
+        has_proj = in_ch != out_ch or self.up or self.down
+
+        # param-exposing modules (names/shapes identical to the nn.Conv /
+        # nn.Dense / GroupNormTorch tree -> same checkpoints)
+        gn1 = GroupNormP(in_ch, g1, eps=1e-6, name="GroupNorm_0")
+        conv0 = Conv2dP(in_ch, out_ch, dtype=self.dtype, name="Conv_0")
+        dense = (DenseP(temb.shape[-1], out_ch, dtype=self.dtype,
+                        name="Dense_0") if temb is not None else None)
+        gn2 = GroupNormP(out_ch, g2, eps=1e-6, name="GroupNorm_1")
+        conv1 = Conv2dP(out_ch, out_ch, init_scale=self.init_scale,
+                        dtype=self.dtype, name="Conv_1")
+        proj = (Conv2dP(in_ch, out_ch, ksize=1, dtype=self.dtype,
+                        name="Conv_2") if has_proj else None)
+
+        # --- fused single-kernel path (ops/fused_resblock.py) -------------
+        # eval mode (dropout identity), no resampling, swish act
+        if (_fused_resblock_active() and not self.up and not self.down
+                and deterministic and self.act is nn.swish
+                and temb is not None and not self.is_initializing()):
+            from diffpure_tpu.ops.fused_resblock import fused_resblock
+            temb_row = dense(self.act(temb))
+            params = (gn1.scale, gn1.bias, conv0.kernel, conv0.bias,
+                      gn2.scale, gn2.bias, conv1.kernel, conv1.bias,
+                      proj.kernel[0, 0] if has_proj else None,
+                      proj.bias if has_proj else None)
+            interpret = jax.default_backend() != "tpu"
+            return fused_resblock(x, temb_row, params, g1, g2, 1e-6,
+                                  self.skip_rescale, interpret)
+
+        h = self.act(gn1(x))
         if self.up:
             if self.fir:
                 h = upsample_2d(h, self.fir_kernel, factor=2)
@@ -383,19 +493,14 @@ class ResnetBlockBigGANpp(nn.Module):
             else:
                 h = naive_downsample_2d(h, factor=2)
                 x = naive_downsample_2d(x, factor=2)
-        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
+        h = conv0(h)
         if temb is not None:
-            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(), dtype=self.dtype,
-                             name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = GNSiLU(ncsn_num_groups(out_ch), eps=1e-6,
-                   name="GroupNorm_1")(h) if self.act is nn.swish else \
-            self.act(GroupNormTorch(ncsn_num_groups(out_ch), eps=1e-6,
-                                    name="GroupNorm_1")(h))
+            h = h + dense(self.act(temb))[:, None, None, :]
+        h = self.act(gn2(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
-                    dtype=self.dtype)(h)
-        if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
+        h = conv1(h)
+        if has_proj:
+            x = proj(x)
         if not self.skip_rescale:
             return x + h
         return (x + h) * INV_SQRT2

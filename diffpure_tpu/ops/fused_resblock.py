@@ -1,0 +1,273 @@
+"""Fused BigGAN residual block as a single Pallas TPU kernel.
+
+The NCSN++ hot path (ref score_sde/models/layerspp.py:212-271) is
+HBM-bandwidth-bound under XLA: GN stats, normalize+SiLU, two convs, the temb
+broadcast and the skip add each traverse the full feature map in HBM
+(~12-14 traversals per block; measured 38 GB/eval at batch 128 = 100% of
+the v5e bandwidth roofline, docs/PERF.md). This kernel keeps the whole block
+in VMEM per batch-tile: one read of x, one write of the output, weights
+streamed once per tile.
+
+Structure per grid step (bt examples, full spatial map):
+  GN1 stats via one-hot-group matmuls (lane dim stays intact) -> normalize
+  + SiLU -> 3x3 conv as 9 shifted (bt*H*W, Cin) @ (Cin, Cout) MXU matmuls
+  accumulated in fp32 -> + bias + temb row -> GN2 + SiLU -> second conv ->
+  + bias -> optional 1x1-conv skip projection -> (skip + h) * scale.
+
+Eval-mode only (dropout is identity at eval; ref applies dropout between
+GN2 and conv1). Gradients: custom_vjp whose backward is XLA autodiff of the
+numerically-equivalent jnp reference (fused_resblock_reference) — attack
+paths differentiate through it unchanged.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+INV_SQRT2 = float(1.0 / np.sqrt(2.0))
+
+
+def _group_onehot(C: int, G: int) -> np.ndarray:
+    M = np.zeros((C, G), np.float32)
+    cg = C // G
+    for c in range(C):
+        M[c, c // cg] = 1.0
+    return M
+
+
+def _gn_silu_inkernel(x32, scale, bias, M, MT, n, eps):
+    """GroupNorm (+SiLU) on an fp32 (bt, H, W, C) VMEM tensor via one-hot
+    matmuls; returns fp32."""
+    sums = jnp.sum(x32, axis=(1, 2))            # (bt, C)
+    sqs = jnp.sum(x32 * x32, axis=(1, 2))       # (bt, C)
+    g_sum = jnp.dot(sums, M, preferred_element_type=jnp.float32)
+    g_sq = jnp.dot(sqs, M, preferred_element_type=jnp.float32)
+    mean_g = g_sum / n
+    var_g = g_sq / n - mean_g * mean_g
+    mean_c = jnp.dot(mean_g, MT, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(jax.lax.rsqrt(var_g + eps), MT,
+                     preferred_element_type=jnp.float32)
+    h = (x32 - mean_c[:, None, None, :]) * rstd_c[:, None, None, :]
+    h = h * scale[None, None, None, :] + bias[None, None, None, :]
+    return h * jax.nn.sigmoid(h)
+
+
+def _conv3x3_inkernel(pad_ref, h, w9, bt, H, W, cin, cout, compute_dtype):
+    """3x3 SAME conv via 9 shifted matmuls; pad_ref is a zeroed
+    (bt, H+2, W+2, cin) VMEM scratch. Returns fp32 (bt, H, W, cout)."""
+    pad_ref[:, 1:H + 1, 1:W + 1, :] = h.astype(compute_dtype)
+    acc = jnp.zeros((bt, H, W, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = pad_ref[:, dy:dy + H, dx:dx + W, :]
+            win2 = win.reshape(bt * H * W, cin)
+            wk = w9[3 * dy + dx].astype(compute_dtype)
+            acc = acc + jnp.dot(win2, wk,
+                                preferred_element_type=jnp.float32
+                                ).reshape(bt, H, W, cout)
+    return acc
+
+
+def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
+                           b0_ref, gn2s_ref, gn2b_ref, w1_ref, b1_ref,
+                           wskip_ref, bskip_ref, m1_ref, m1t_ref, m2_ref,
+                           m2t_ref, o_ref, pad0_ref, pad1_ref, *,
+                           eps: float, has_skip_proj: bool, rescale: bool,
+                           H: int, W: int, cin: int, cout: int, bt: int,
+                           compute_dtype):
+    x32 = x_ref[...].astype(jnp.float32)
+
+    # zero the conv halos once per grid step (scratch persists across steps)
+    pad0_ref[...] = jnp.zeros_like(pad0_ref)
+    pad1_ref[...] = jnp.zeros_like(pad1_ref)
+
+    n1 = float(H * W * cin // m1_ref.shape[1])
+    h = _gn_silu_inkernel(x32, gn1s_ref[0], gn1b_ref[0], m1_ref[...],
+                          m1t_ref[...], n1, eps)
+    acc = _conv3x3_inkernel(pad0_ref, h, w0_ref, bt, H, W, cin, cout,
+                            compute_dtype)
+    acc = acc + b0_ref[0][None, None, None, :]
+    acc = acc + temb_ref[...].astype(jnp.float32)[:, :, None, :]  # (bt,1,C)
+
+    n2 = float(H * W * cout // m2_ref.shape[1])
+    h2 = _gn_silu_inkernel(acc, gn2s_ref[0], gn2b_ref[0], m2_ref[...],
+                           m2t_ref[...], n2, eps)
+    acc2 = _conv3x3_inkernel(pad1_ref, h2, w1_ref, bt, H, W, cout, cout,
+                             compute_dtype)
+    acc2 = acc2 + b1_ref[0][None, None, None, :]
+
+    if has_skip_proj:
+        xs2 = x_ref[...].astype(compute_dtype).reshape(bt * H * W, cin)
+        xs = jnp.dot(xs2, wskip_ref[...].astype(compute_dtype),
+                     preferred_element_type=jnp.float32
+                     ).reshape(bt, H, W, cout)
+        xs = xs + bskip_ref[0][None, None, None, :]
+    else:
+        xs = x32
+
+    out = xs + acc2
+    if rescale:
+        out = out * INV_SQRT2
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _pick_batch_tile(N: int, H: int, W: int, cin: int, cout: int,
+                     vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Largest tile (<=8) dividing N whose fp32+bf16 working set fits."""
+    per_ex = ((H + 2) * (W + 2) * (cin + cout) * 2        # pad scratches bf16
+              + H * W * cin * 4 + 2 * H * W * cout * 4    # x32 + two accs
+              + H * W * max(cin, cout) * 4)               # gn intermediate
+    for bt in (8, 4, 2, 1):
+        if N % bt == 0 and bt * per_ex <= vmem_budget:
+            return bt
+    return 1
+
+
+def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
+                          *, num_groups1: int, num_groups2: int,
+                          eps: float = 1e-6, rescale: bool = True,
+                          interpret: bool = False) -> Array:
+    """Raw Pallas call (no custom_vjp). params =
+    (gn1_scale, gn1_bias, w0[3,3,cin,cout], b0, gn2_scale, gn2_bias,
+     w1[3,3,cout,cout], b1, wskip[cin,cout] | None, bskip | None)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (gn1s, gn1b, w0, b0, gn2s, gn2b, w1, b1, wskip, bskip) = params
+    N, H, W, cin = x.shape
+    cout = w0.shape[-1]
+    has_skip_proj = wskip is not None
+    compute_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+
+    bt = _pick_batch_tile(N, H, W, cin, cout)
+    M1 = _group_onehot(cin, num_groups1)
+    M2 = _group_onehot(cout, num_groups2)
+
+    w0_9 = w0.reshape(9, cin, cout)
+    w1_9 = w1.reshape(9, cout, cout)
+    if not has_skip_proj:
+        wskip = jnp.zeros((1, cout), x.dtype)
+        bskip = jnp.zeros((cout,), jnp.float32)
+
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _fused_resblock_kernel, eps=eps, has_skip_proj=has_skip_proj,
+        rescale=rescale, H=H, W=W, cin=cin, cout=cout, bt=bt,
+        compute_dtype=compute_dtype)
+
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731 — replicated operand
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, H, W, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # (N, 1, cout): the batch-blocked dim must not be among the
+            # last two (Mosaic requires those divisible by (8, 128))
+            pl.BlockSpec((bt, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, cin), full(1, cin),
+            full(9, cin, cout), full(1, cout),
+            full(1, cout), full(1, cout),
+            full(9, cout, cout), full(1, cout),
+            full(*wskip.shape), full(1, cout),
+            full(cin, num_groups1), full(num_groups1, cin),
+            full(cout, num_groups2), full(num_groups2, cout),
+        ],
+        out_specs=pl.BlockSpec((bt, H, W, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, H + 2, W + 2, cin), compute_dtype),
+            pltpu.VMEM((bt, H + 2, W + 2, cout), compute_dtype),
+        ],
+        interpret=interpret,
+    )(x, temb_row.astype(x.dtype)[:, None, :],
+      gn1s.astype(f32).reshape(1, cin), gn1b.astype(f32).reshape(1, cin),
+      w0_9, b0.astype(f32).reshape(1, cout),
+      gn2s.astype(f32).reshape(1, cout), gn2b.astype(f32).reshape(1, cout),
+      w1_9, b1.astype(f32).reshape(1, cout),
+      wskip, bskip.astype(f32).reshape(1, cout),
+      jnp.asarray(M1), jnp.asarray(M1.T.copy()),
+      jnp.asarray(M2), jnp.asarray(M2.T.copy()))
+    return out
+
+
+def fused_resblock_reference(x: Array, temb_row: Array, params: Tuple,
+                             *, num_groups1: int, num_groups2: int,
+                             eps: float = 1e-6, rescale: bool = True
+                             ) -> Array:
+    """jnp reference with the kernel's exact numerics (fp32 accumulation,
+    fp32 GN on the accumulator). Differentiable — the custom_vjp backward."""
+    from diffpure_tpu.ops.groupnorm import group_norm
+
+    (gn1s, gn1b, w0, b0, gn2s, gn2b, w1, b1, wskip, bskip) = params
+    cdt = x.dtype
+
+    h = group_norm(x.astype(jnp.float32), gn1s, gn1b, num_groups1, eps)
+    h = h * jax.nn.sigmoid(h)
+    h = jax.lax.conv_general_dilated(
+        h.astype(cdt), w0.astype(cdt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    h = h + b0.astype(jnp.float32)
+    h = h + temb_row.astype(jnp.float32)[:, None, None, :]
+    h = group_norm(h, gn2s, gn2b, num_groups2, eps)
+    h = h * jax.nn.sigmoid(h)
+    h = jax.lax.conv_general_dilated(
+        h.astype(cdt), w1.astype(cdt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    h = h + b1.astype(jnp.float32)
+
+    if wskip is not None:
+        xs = jnp.einsum("nhwc,cd->nhwd", x.astype(cdt), wskip.astype(cdt),
+                        preferred_element_type=jnp.float32)
+        xs = xs + bskip.astype(jnp.float32)
+    else:
+        xs = x.astype(jnp.float32)
+    out = xs + h
+    if rescale:
+        out = out * INV_SQRT2
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_resblock(x: Array, temb_row: Array, params: Tuple,
+                   num_groups1: int, num_groups2: int, eps: float = 1e-6,
+                   rescale: bool = True, interpret: bool = False) -> Array:
+    return fused_resblock_pallas(x, temb_row, params,
+                                 num_groups1=num_groups1,
+                                 num_groups2=num_groups2, eps=eps,
+                                 rescale=rescale, interpret=interpret)
+
+
+def _frb_fwd(x, temb_row, params, num_groups1, num_groups2, eps, rescale,
+             interpret):
+    out = fused_resblock_pallas(x, temb_row, params,
+                                num_groups1=num_groups1,
+                                num_groups2=num_groups2, eps=eps,
+                                rescale=rescale, interpret=interpret)
+    return out, (x, temb_row, params)
+
+
+def _frb_bwd(num_groups1, num_groups2, eps, rescale, interpret, res, g):
+    x, temb_row, params = res
+    _, vjp = jax.vjp(
+        lambda xx, tt, pp: fused_resblock_reference(
+            xx, tt, pp, num_groups1=num_groups1, num_groups2=num_groups2,
+            eps=eps, rescale=rescale),
+        x, temb_row, params)
+    return vjp(g)
+
+
+fused_resblock.defvjp(_frb_fwd, _frb_bwd)

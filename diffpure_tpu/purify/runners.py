@@ -22,6 +22,8 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+from diffpure_tpu.utils.profiling import record_nfe
 import numpy as np
 
 from diffpure_tpu.diffusion.discrete import GaussianDiffusion, ModelMeanType, \
@@ -320,6 +322,7 @@ def purify_guided_ddpm(model_fn: ModelFn, params, x: Array, key: Array,
                                          clip_denoised=True)
             return (out["sample"], k), None
 
+        record_nfe("guided_ddpm", int(cfg.t))
         (x_pure, _), _ = jax.lax.scan(
             jax.checkpoint(step), (xt, k_loop), jnp.arange(cfg.t))
         if cfg.grad_mode == "none":
@@ -368,6 +371,7 @@ def purify_celebahq_ddpm(model_fn: ModelFn, params, x: Array, key: Array,
             sample = mean + mask * jnp.exp(0.5 * lv) * noise
             return (sample, k), None
 
+        record_nfe("celebahq_ddpm", int(cfg.t))
         (x_pure, _), _ = jax.lax.scan(
             jax.checkpoint(step), (xt, k_loop), jnp.arange(cfg.t))
         if cfg.grad_mode == "none":

@@ -24,6 +24,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from diffpure_tpu.utils.profiling import record_nfe
+
 from diffpure_tpu.solvers.em import brownian_increment, _expand
 
 Array = jax.Array
@@ -50,6 +52,7 @@ def _em_forward(drift, diffusion, params, x0, t0, t1, n_steps, key):
         g = _expand(diffusion(tb), x)
         return x + drift(params, x, tb) * dt + g * dw, None
 
+    record_nfe("sde_euler_adjoint", n_steps)
     x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
     return x1
 
@@ -110,6 +113,7 @@ def _ode_forward(func, params, x0, t0, t1, n_steps):
         tb = jnp.full((x.shape[0],), t, dtype=x.dtype)
         return x + func(params, x, tb) * dt, None
 
+    record_nfe("ode_euler_adjoint", n_steps)
     x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
     return x1
 

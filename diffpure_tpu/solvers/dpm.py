@@ -21,6 +21,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from diffpure_tpu.utils.profiling import record_nfe
+
 from diffpure_tpu.diffusion.sde import VPSDE
 
 Array = jax.Array
@@ -74,6 +76,7 @@ def dpm_solver_pp_2m(eps_fn: EpsFn, x: Array, t_start: float, t_end: float,
         return (x_new, x0_i, h), None
 
     step = jax.checkpoint(step)
+    record_nfe("dpm_solver_pp", n_steps)
     (x, _, _), _ = jax.lax.scan(step, (x, x0_prev, h_prev),
                                 jnp.arange(1, n_steps))
     return x

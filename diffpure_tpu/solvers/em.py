@@ -24,6 +24,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from diffpure_tpu.utils.profiling import record_nfe
+
 Array = jax.Array
 # drift(x, t) -> dx/dt ; diffusion(t) -> per-batch scalar or broadcastable array
 DriftFn = Callable[[Array, Array], Array]
@@ -71,6 +73,7 @@ def sdeint_em(
 
     if remat:
         step = jax.checkpoint(step)
+    record_nfe("sde_euler", n_steps)
     x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
     return x1
 

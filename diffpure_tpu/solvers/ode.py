@@ -12,6 +12,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from diffpure_tpu.utils.profiling import record_nfe
+
 Array = jax.Array
 OdeFn = Callable[[Array, Array], Array]  # f(x, t) -> dx/dt
 
@@ -36,6 +38,7 @@ def odeint_euler(
 
     if remat:
         step = jax.checkpoint(step)
+    record_nfe("ode_euler", n_steps)
     x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
     return x1
 
@@ -64,5 +67,6 @@ def odeint_heun(
 
     if remat:
         step = jax.checkpoint(step)
+    record_nfe("ode_heun", 2 * n_steps)
     x1, _ = jax.lax.scan(step, x0, jnp.arange(n_steps))
     return x1

@@ -35,6 +35,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from diffpure_tpu.utils.profiling import record_nfe
+
 from diffpure_tpu.solvers.em import brownian_increment
 
 Array = jax.Array
@@ -88,6 +90,7 @@ def _fwd_scan(drift, diffusion, n_steps, params, x0, t0, t1, key):
         y1 = y + 0.5 * (f + f1) * dt + 0.5 * (gb + g1b) * dw
         return (y1, yhat1, f1, g1), None
 
+    record_nfe("sde_reversible_heun", n_steps + 1)
     (y, yhat, _, _), _ = jax.lax.scan(
         step, (x0, x0, f0, g0), jnp.arange(n_steps))
     return y, yhat

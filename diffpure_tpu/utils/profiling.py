@@ -19,8 +19,12 @@ import jax
 class NFECounter:
     """Counts score-model evaluations per phase.
 
-    The solvers have statically known NFE (n_steps x evals-per-step), so
-    counting is bookkeeping, not host callbacks — register each solve.
+    The solvers have statically known NFE per invocation (n_steps x
+    evals-per-step); what is NOT static is how many times a jitted attack
+    loop executes the solver (EOT scans, APGD iterations). record_nfe
+    therefore inserts a host callback at trace time that fires once per
+    runtime execution — counts stay correct inside compiled loops
+    (SURVEY.md §5.1: NFE counting belongs in the integrator).
     """
 
     def __init__(self):
@@ -35,6 +39,46 @@ class NFECounter:
     def report(self) -> str:
         parts = [f"{k}={v}" for k, v in sorted(self.counts.items())]
         return f"NFE total={self.total()} ({', '.join(parts)})"
+
+
+_GLOBAL_NFE: Optional[NFECounter] = None
+
+
+def set_global_nfe_counter(counter: Optional[NFECounter]) -> None:
+    """Install (or clear with None) the process-wide NFE ledger. Solvers
+    only insert callbacks while a counter is installed — zero overhead
+    otherwise (bench paths leave it off)."""
+    global _GLOBAL_NFE
+    _GLOBAL_NFE = counter
+
+
+@contextlib.contextmanager
+def count_nfe() -> Iterator[NFECounter]:
+    """Scoped NFE counting: with count_nfe() as c: ... ; c.total().
+
+    NOTE: functions jit-compiled while no counter was installed have no
+    callback baked in — trace (or re-trace) inside the context.
+    """
+    c = NFECounter()
+    set_global_nfe_counter(c)
+    try:
+        yield c
+    finally:
+        set_global_nfe_counter(None)
+
+
+def record_nfe(phase: str, nfe: int) -> None:
+    """Called by solvers at trace time with their static per-invocation NFE
+    (forward evaluations; gradient-pass recomputation is not counted).
+    Fires once per runtime execution via jax.debug.callback."""
+    if _GLOBAL_NFE is None:
+        return
+
+    def _bump():
+        if _GLOBAL_NFE is not None:
+            _GLOBAL_NFE.add(phase, nfe)
+
+    jax.debug.callback(_bump)
 
 
 class PhaseTimer:

@@ -384,6 +384,37 @@ class TestAutoAttackSuite:
         x_adv, robust = aa.run_standard_evaluation(x, y, key)
         assert x_adv.shape == x.shape
 
+    def test_later_phases_attack_only_robust_subset(self, key):
+        """Upstream robust_flags protocol: once phase 1 breaks examples,
+        phase 2 must gather + attack only the survivors (padded to a
+        static power-of-two bucket)."""
+        # decision depends on pixel (0,0,0): margin 0.05 for the first
+        # three (breakable at eps=0.12), 0.5 for the rest (unbreakable)
+        x = np.full((6, 2, 2, 3), 0.5, np.float32)
+        x[:3, 0, 0, 0] = 0.30
+        x[3:, 0, 0, 0] = 0.75
+        y = jnp.zeros((6,), jnp.int32)
+        seen_batches = []
+
+        def spy_model(xx, k):
+            seen_batches.append(int(xx.shape[0]))
+            t = xx.reshape(xx.shape[0], -1)[:, 0]
+            return jnp.stack([t - 0.25, 0.25 - t], axis=-1) * 20.0
+
+        cfg = AutoAttackConfig(version="custom",
+                               attacks_to_run=("apgd-ce", "apgd-dlr"),
+                               eps=0.12, n_iter=8)
+        aa = AutoAttack(spy_model, cfg, log_fn=lambda *a: None)
+        _, robust = aa.run_standard_evaluation(jnp.asarray(x), y, key)
+        n_attacked = aa.phase_batch_sizes
+        # phase 1 attacked all 6, broke the 3 breakable ones; phase 2
+        # attacked only the 3 survivors padded to a 4-bucket
+        assert n_attacked == [6, 3]
+        assert np.asarray(robust).sum() == 3
+        assert 4 in seen_batches  # padded subset batch reached the model
+        from diffpure_tpu.attacks.autoattack import _next_pow2
+        assert _next_pow2(3) == 4 and _next_pow2(4) == 4
+
 
 class TestAPGDSchedule:
     def test_checkpoint_positions_match_autoattack(self):

@@ -1,0 +1,142 @@
+"""Fused-resblock Pallas kernel: numerics, gradients, model integration.
+
+The kernel (ops/fused_resblock.py) replaces the XLA chain of the BigGAN
+residual block (ref score_sde/models/layerspp.py:212-271) on TPU; CPU tests
+run it in Pallas interpret mode via set_fused_resblock(True).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffpure_tpu.ops.fused_resblock import (
+    fused_resblock, fused_resblock_pallas, fused_resblock_reference,
+)
+from diffpure_tpu.models import layers as L
+
+
+def make_inputs(rng, cin, cout, H=8, N=4, skip=True):
+    x = jnp.asarray(rng.randn(N, H, H, cin).astype(np.float32) * 0.5)
+    temb = jnp.asarray(rng.randn(N, cout).astype(np.float32) * 0.3)
+    params = (
+        jnp.asarray(1 + 0.1 * rng.randn(cin).astype(np.float32)),
+        jnp.asarray(0.1 * rng.randn(cin).astype(np.float32)),
+        jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.05),
+        jnp.asarray(0.1 * rng.randn(cout).astype(np.float32)),
+        jnp.asarray(1 + 0.1 * rng.randn(cout).astype(np.float32)),
+        jnp.asarray(0.1 * rng.randn(cout).astype(np.float32)),
+        jnp.asarray(rng.randn(3, 3, cout, cout).astype(np.float32) * 0.05),
+        jnp.asarray(0.1 * rng.randn(cout).astype(np.float32)),
+        jnp.asarray(rng.randn(cin, cout).astype(np.float32) * 0.1)
+        if skip else None,
+        jnp.asarray(0.1 * rng.randn(cout).astype(np.float32))
+        if skip else None,
+    )
+    return x, temb, params
+
+
+class TestKernelNumerics:
+    @pytest.mark.parametrize("cin,cout,skip", [
+        (128, 128, False), (128, 256, True), (256, 128, True),
+    ])
+    def test_matches_reference(self, rng, cin, cout, skip):
+        x, temb, params = make_inputs(rng, cin, cout, skip=skip)
+        g1, g2 = min(cin // 4, 32), min(cout // 4, 32)
+        want = fused_resblock_reference(x, temb, params, num_groups1=g1,
+                                        num_groups2=g2)
+        got = fused_resblock_pallas(x, temb, params, num_groups1=g1,
+                                    num_groups2=g2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_matches_unfused_block_math(self, rng):
+        """Reference (fp32-accumulating) vs the plain jnp block chain."""
+        cin = cout = 64
+        x, temb, params = make_inputs(rng, cin, cout, skip=False)
+        g = 16
+        got = fused_resblock_reference(x, temb, params, num_groups1=g,
+                                       num_groups2=g)
+        from diffpure_tpu.ops.groupnorm import group_norm
+        (s1, b1, w0, c0, s2, b2, w1, c1, _, _) = params
+        h = group_norm(x, s1, b1, g)
+        h = h * jax.nn.sigmoid(h)
+        h = jax.lax.conv_general_dilated(
+            h, w0, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + c0
+        h = h + temb[:, None, None, :]
+        h = group_norm(h, s2, b2, g)
+        h = h * jax.nn.sigmoid(h)
+        h = jax.lax.conv_general_dilated(
+            h, w1, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + c1
+        want = (x + h) * L.INV_SQRT2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_custom_vjp_matches_reference_grad(self, rng):
+        x, temb, params = make_inputs(rng, 64, 64, skip=False)
+        g = 16
+
+        def f_fused(x, t, p):
+            return fused_resblock(x, t, p, g, g, 1e-6, True, True).sum()
+
+        def f_ref(x, t, p):
+            return fused_resblock_reference(
+                x, t, p, num_groups1=g, num_groups2=g).sum()
+
+        gx_f, gt_f, gp_f = jax.grad(f_fused, argnums=(0, 1, 2))(
+            x, temb, params)
+        gx_r, gt_r, gp_r = jax.grad(f_ref, argnums=(0, 1, 2))(
+            x, temb, params)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r),
+                                   atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(gp_f),
+                        jax.tree_util.tree_leaves(gp_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
+class TestModelIntegration:
+    def _model_outputs(self, fused):
+        from diffpure_tpu.models.ncsnpp import NCSNpp
+        L.set_fused_resblock(fused)
+        try:
+            model = NCSNpp(image_size=16, nf=32, ch_mult=(1, 2),
+                           num_res_blocks=2, attn_resolutions=(8,))
+            key = jax.random.PRNGKey(0)
+            params = model.init(key, jnp.zeros((1, 16, 16, 3)),
+                                jnp.zeros((1,)))
+            rng = np.random.RandomState(1)
+            x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32) * 0.5)
+            t = jnp.asarray([99.9, 500.0], np.float32)
+            return np.asarray(model.apply(params, x, t))
+        finally:
+            L.set_fused_resblock("auto")
+
+    def test_full_model_fused_equals_unfused(self):
+        """The fused path is a drop-in: same params, same outputs."""
+        want = self._model_outputs(False)
+        got = self._model_outputs(True)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
+
+    def test_param_tree_unchanged(self):
+        """Conv2dP/GroupNormP/DenseP keep the exact nn.Conv/Dense names."""
+        from diffpure_tpu.models.ncsnpp import NCSNpp
+        model = NCSNpp(image_size=16, nf=32, ch_mult=(1, 2),
+                       num_res_blocks=1, attn_resolutions=(8,))
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,))))
+        # m4 is the first BigGAN resblock (m0-m1 temb denses, m3 conv_in)
+        names = {k for k in shapes["params"] if k.startswith("m")}
+        block_keys = None
+        for k in sorted(names):
+            sub = shapes["params"][k]
+            if "GroupNorm_0" in sub and "Conv_0" in sub:
+                block_keys = set(sub.keys())
+                break
+        assert block_keys is not None
+        assert {"GroupNorm_0", "Conv_0", "Dense_0", "GroupNorm_1",
+                "Conv_1"} <= block_keys
