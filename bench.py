@@ -2,13 +2,17 @@
 
 Measures the headline workload (BASELINE.md north star): full NCSN++
 (107M params, configs/cifar10.yml) reverse VP-SDE purification with t*=100
-Euler-Maruyama steps (= 100 UNet evals per image), batch 64, on whatever
+Euler-Maruyama steps (= 100 UNet evals per image), batch 128, on whatever
 accelerator jax provides. Prints ONE JSON line.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the paper-era
 single-V100 throughput for this exact config is ~10 purified images/s
-(batch 64 / ~6s per batch, torch fp16-less eager) — used as the documented
-denominator. Re-derive on real reference hardware when available.
+(batch 128-equivalent, torch eager) — used as the documented denominator.
+Re-derive on real reference hardware when available.
+
+mfu: measured model FLOPs (XLA cost analysis of one UNet eval x 100 steps)
+over the chip's bf16 peak — see docs/PERF.md for the roofline analysis
+(Euler-100 has a hard single-chip ceiling of peak/3.47TFLOP-per-image).
 """
 from __future__ import annotations
 
@@ -23,13 +27,25 @@ REFERENCE_IMGS_PER_SEC_V100 = 10.0
 BATCH = 128
 T_STAR = 100
 
+# bf16 peak of the benched chip family (TPU v5e ~197 TFLOP/s). Only used
+# for the informational mfu field; throughput is measured.
+PEAK_BF16_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0,
+                    "v5p": 459.0, "v6e": 918.0}
+
+
+def _peak_tflops() -> float:
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for k, v in PEAK_BF16_TFLOPS.items():
+        if k in kind:
+            return v
+    return 197.0
+
 
 def main():
     from diffpure_tpu.models.ncsnpp import NCSNpp
     from diffpure_tpu.purify import PurifyConfig, purify
 
-    import jax.numpy as _jnp
-    model = NCSNpp(dtype=_jnp.bfloat16)
+    model = NCSNpp(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     x_img = jax.random.uniform(key, (BATCH, 32, 32, 3)) * 2 - 1
     params = model.init(jax.random.fold_in(key, 1),
@@ -47,8 +63,22 @@ def main():
         # block_until_ready returns before the work drains.
         return jnp.float32(out.sum())
 
+    # model FLOPs per UNet eval from XLA's cost analysis (for mfu)
+    flops_per_eval = None
+    try:
+        fwd = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))
+        ca = fwd.lower(params, x_img,
+                       jnp.full((BATCH,), 50.0)).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_eval = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # compile + warmup (absorbs the remote-compile cold start)
+    t0 = time.time()
     float(run(params, x_img, jax.random.fold_in(key, 2)))
+    compile_s = time.time() - t0
 
     n_iters = 2
     t0 = time.time()
@@ -58,13 +88,22 @@ def main():
 
     n_chips = jax.device_count()
     imgs_per_sec_chip = BATCH / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": "purified_images_per_sec_per_chip",
         "value": round(imgs_per_sec_chip, 3),
-        "unit": f"img/s/chip (CIFAR-10 NCSN++ bf16 t*={T_STAR}, batch {BATCH})",
+        "unit": f"img/s/chip (CIFAR-10 NCSN++ bf16 t*={T_STAR}, "
+                f"batch {BATCH})",
         "vs_baseline": round(imgs_per_sec_chip / REFERENCE_IMGS_PER_SEC_V100,
                              3),
-    }))
+        "ms_per_unet_eval": round(dt / T_STAR * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+    }
+    if flops_per_eval:
+        tflops = flops_per_eval * T_STAR / dt / 1e12 / n_chips
+        out["model_tflops_per_s"] = round(tflops, 1)
+        out["mfu"] = round(tflops / _peak_tflops(), 3)
+        out["gflop_per_img_per_eval"] = round(flops_per_eval / BATCH / 1e9, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -73,7 +73,8 @@ def square_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
     `draws` optionally injects the random sequence (tests: trajectory
     parity vs the upstream numpy loop given identical draws). Linf keys:
     stripes (B,1,W,C), vh/vw (n,B) ints, color (n,B,1,1,C). L2 keys:
-    signs0 (B,1,1,C), vh/vw (n,B), signs (n,B,1,1,C).
+    signs0 (ncells,B,1,1,C), transpose0 (ncells,B), vh/vw (n,B),
+    signs (n,B,1,1,C), orient (n,B) in {0,1}.
     """
     if cfg.norm == "Linf":
         return _square_linf(model_fn, x, y, key, cfg, draws)

@@ -280,6 +280,22 @@ class Combine(nn.Module):
         raise ValueError(self.method)
 
 
+class NINP(nn.Module):
+    """NIN with setup-defined params (`W` (in,out) / `b`) so fused kernels
+    can read them; numerics identical to NIN."""
+    in_dim: int
+    features: int
+    init_scale: float = 0.1
+
+    def setup(self):
+        self.W = self.param("W", ddpm_init(self.init_scale),
+                            (self.in_dim, self.features))
+        self.b = self.param("b", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x: Array) -> Array:
+        return x @ self.W.astype(x.dtype) + self.b.astype(x.dtype)
+
+
 class AttnBlockpp(nn.Module):
     """NCSN++ channel-wise self-attention block (ref layerspp.py:62-91)."""
     skip_rescale: bool = False
@@ -289,12 +305,26 @@ class AttnBlockpp(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         C = x.shape[-1]
-        h = GroupNormTorch(ncsn_num_groups(C), eps=1e-6, name="GroupNorm_0")(x)
-        q = NIN(C, name="NIN_0")(h)
-        k = NIN(C, name="NIN_1")(h)
-        v = NIN(C, name="NIN_2")(h)
+        gn = GroupNormP(C, ncsn_num_groups(C), eps=1e-6, name="GroupNorm_0")
+        ninq = NINP(C, C, name="NIN_0")
+        nink = NINP(C, C, name="NIN_1")
+        ninv = NINP(C, C, name="NIN_2")
+        nino = NINP(C, C, init_scale=self.init_scale, name="NIN_3")
+
+        if (_fused_resblock_active() and not self.is_initializing()):
+            from diffpure_tpu.ops.fused_attnblock import fused_attnblock
+            params = (gn.scale, gn.bias, ninq.W, ninq.b, nink.W, nink.b,
+                      ninv.W, ninv.b, nino.W, nino.b)
+            interpret = jax.default_backend() != "tpu"
+            return fused_attnblock(x, params, ncsn_num_groups(C), 1e-6,
+                                   self.skip_rescale, interpret)
+
+        h = gn(x)
+        q = ninq(h)
+        k = nink(h)
+        v = ninv(h)
         h = spatial_attention(q, k, v)
-        h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
+        h = nino(h)
         if not self.skip_rescale:
             return x + h
         return (x + h) * INV_SQRT2
@@ -400,8 +430,10 @@ class ResnetBlockDDPMpp(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: Array, temb: Optional[Array] = None,
+    def __call__(self, x, temb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
+        if isinstance(x, tuple):  # (h, skip) pair from the UNet up path
+            x = jnp.concatenate(x, axis=-1)
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = GNSiLU(ncsn_num_groups(in_ch), eps=1e-6,
@@ -444,9 +476,16 @@ class ResnetBlockBigGANpp(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: Array, temb: Optional[Array] = None,
+    def __call__(self, x, temb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
-        in_ch = x.shape[-1]
+        # x may be a (h, skip) pair from the UNet up path: the fused kernel
+        # concatenates in VMEM (saves the XLA concat materialization); the
+        # unfused path concatenates here.
+        x_pair = x if isinstance(x, tuple) else None
+        if x_pair is not None:
+            in_ch = x_pair[0].shape[-1] + x_pair[1].shape[-1]
+        else:
+            in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         g1, g2 = ncsn_num_groups(in_ch), ncsn_num_groups(out_ch)
         has_proj = in_ch != out_ch or self.up or self.down
@@ -468,16 +507,26 @@ class ResnetBlockBigGANpp(nn.Module):
         if (_fused_resblock_active() and not self.up and not self.down
                 and deterministic and self.act is nn.swish
                 and temb is not None and not self.is_initializing()):
-            from diffpure_tpu.ops.fused_resblock import fused_resblock
+            from diffpure_tpu.ops.fused_resblock import (fused_resblock,
+                                                         fused_resblock_cat)
             temb_row = dense(self.act(temb))
             params = (gn1.scale, gn1.bias, conv0.kernel, conv0.bias,
                       gn2.scale, gn2.bias, conv1.kernel, conv1.bias,
                       proj.kernel[0, 0] if has_proj else None,
                       proj.bias if has_proj else None)
             interpret = jax.default_backend() != "tpu"
+            if (x_pair is not None and has_proj
+                    and x_pair[0].shape[-1] % 128 == 0):
+                return fused_resblock_cat(x_pair[0], x_pair[1], temb_row,
+                                          params, g1, g2, 1e-6,
+                                          self.skip_rescale, interpret)
+            if x_pair is not None:
+                x = jnp.concatenate(x_pair, axis=-1)
             return fused_resblock(x, temb_row, params, g1, g2, 1e-6,
                                   self.skip_rescale, interpret)
 
+        if x_pair is not None:
+            x = jnp.concatenate(x_pair, axis=-1)
         h = self.act(gn1(x))
         if self.up:
             if self.fir:

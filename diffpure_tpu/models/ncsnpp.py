@@ -199,9 +199,10 @@ class NCSNpp(nn.Module):
         for i_level in reversed(range(num_resolutions)):
             for i_block in range(self.num_res_blocks + 1):
                 out_ch = nf * self.ch_mult[i_level]
+                # (h, skip) pair: the BigGAN block concatenates (in VMEM on
+                # the fused TPU path — see ResnetBlockBigGANpp)
                 h = resnet(next_name(), out_ch=out_ch)(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb,
-                    deterministic=not train)
+                    (h, hs.pop()), temb, deterministic=not train)
                 in_ch = out_ch
 
             if all_resolutions[i_level] in self.attn_resolutions:

@@ -33,17 +33,20 @@ Array = jax.Array
 INV_SQRT2 = float(1.0 / np.sqrt(2.0))
 
 
-def _group_onehot(C: int, G: int) -> np.ndarray:
-    M = np.zeros((C, G), np.float32)
-    cg = C // G
-    for c in range(C):
-        M[c, c // cg] = 1.0
-    return M
+def _group_onehot_inkernel(C: int, G: int):
+    """One-hot group-membership matrix built in-kernel from iota: passing it
+    as an operand would bake a per-call jaxpr constant (70 blocks x ~64 KB,
+    enough to blow remote-compile upload limits on gradient graphs)."""
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
+    return ((c_ids // (C // G)) == g_ids).astype(jnp.float32)
 
 
-def _gn_silu_inkernel(x32, scale, bias, M, MT, n, eps):
+def _gn_silu_inkernel(x32, scale, bias, C, G, n, eps):
     """GroupNorm (+SiLU) on an fp32 (bt, H, W, C) VMEM tensor via one-hot
     matmuls; returns fp32."""
+    M = _group_onehot_inkernel(C, G)
+    MT = M.T
     sums = jnp.sum(x32, axis=(1, 2))            # (bt, C)
     sqs = jnp.sum(x32 * x32, axis=(1, 2))       # (bt, C)
     g_sum = jnp.dot(sums, M, preferred_element_type=jnp.float32)
@@ -76,10 +79,10 @@ def _conv3x3_inkernel(pad_ref, h, w9, bt, H, W, cin, cout, compute_dtype):
 
 def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
                            b0_ref, gn2s_ref, gn2b_ref, w1_ref, b1_ref,
-                           wskip_ref, bskip_ref, m1_ref, m1t_ref, m2_ref,
-                           m2t_ref, o_ref, pad0_ref, pad1_ref, *,
-                           eps: float, has_skip_proj: bool, rescale: bool,
-                           H: int, W: int, cin: int, cout: int, bt: int,
+                           wskip_ref, bskip_ref, o_ref, pad0_ref, pad1_ref,
+                           *, eps: float, has_skip_proj: bool,
+                           rescale: bool, H: int, W: int, cin: int,
+                           cout: int, bt: int, g1: int, g2: int,
                            compute_dtype):
     x32 = x_ref[...].astype(jnp.float32)
 
@@ -87,17 +90,16 @@ def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
     pad0_ref[...] = jnp.zeros_like(pad0_ref)
     pad1_ref[...] = jnp.zeros_like(pad1_ref)
 
-    n1 = float(H * W * cin // m1_ref.shape[1])
-    h = _gn_silu_inkernel(x32, gn1s_ref[0], gn1b_ref[0], m1_ref[...],
-                          m1t_ref[...], n1, eps)
+    n1 = float(H * W * cin // g1)
+    h = _gn_silu_inkernel(x32, gn1s_ref[0], gn1b_ref[0], cin, g1, n1, eps)
     acc = _conv3x3_inkernel(pad0_ref, h, w0_ref, bt, H, W, cin, cout,
                             compute_dtype)
     acc = acc + b0_ref[0][None, None, None, :]
     acc = acc + temb_ref[...].astype(jnp.float32)[:, :, None, :]  # (bt,1,C)
 
-    n2 = float(H * W * cout // m2_ref.shape[1])
-    h2 = _gn_silu_inkernel(acc, gn2s_ref[0], gn2b_ref[0], m2_ref[...],
-                           m2t_ref[...], n2, eps)
+    n2 = float(H * W * cout // g2)
+    h2 = _gn_silu_inkernel(acc, gn2s_ref[0], gn2b_ref[0], cout, g2, n2,
+                           eps)
     acc2 = _conv3x3_inkernel(pad1_ref, h2, w1_ref, bt, H, W, cout, cout,
                              compute_dtype)
     acc2 = acc2 + b1_ref[0][None, None, None, :]
@@ -147,8 +149,6 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
         else jnp.float32
 
     bt = _pick_batch_tile(N, H, W, cin, cout)
-    M1 = _group_onehot(cin, num_groups1)
-    M2 = _group_onehot(cout, num_groups2)
 
     w0_9 = w0.reshape(9, cin, cout)
     w1_9 = w1.reshape(9, cout, cout)
@@ -160,7 +160,7 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
     kernel = functools.partial(
         _fused_resblock_kernel, eps=eps, has_skip_proj=has_skip_proj,
         rescale=rescale, H=H, W=W, cin=cin, cout=cout, bt=bt,
-        compute_dtype=compute_dtype)
+        g1=num_groups1, g2=num_groups2, compute_dtype=compute_dtype)
 
     full = lambda *shape: pl.BlockSpec(  # noqa: E731 — replicated operand
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -180,8 +180,6 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
             full(1, cout), full(1, cout),
             full(9, cout, cout), full(1, cout),
             full(*wskip.shape), full(1, cout),
-            full(cin, num_groups1), full(num_groups1, cin),
-            full(cout, num_groups2), full(num_groups2, cout),
         ],
         out_specs=pl.BlockSpec((bt, H, W, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -196,9 +194,7 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
       w0_9, b0.astype(f32).reshape(1, cout),
       gn2s.astype(f32).reshape(1, cout), gn2b.astype(f32).reshape(1, cout),
       w1_9, b1.astype(f32).reshape(1, cout),
-      wskip, bskip.astype(f32).reshape(1, cout),
-      jnp.asarray(M1), jnp.asarray(M1.T.copy()),
-      jnp.asarray(M2), jnp.asarray(M2.T.copy()))
+      wskip, bskip.astype(f32).reshape(1, cout))
     return out
 
 
@@ -213,25 +209,27 @@ def fused_resblock_reference(x: Array, temb_row: Array, params: Tuple,
     (gn1s, gn1b, w0, b0, gn2s, gn2b, w1, b1, wskip, bskip) = params
     cdt = x.dtype
 
+    # convs run in the compute dtype then upcast (a mixed-dtype
+    # preferred_element_type conv is not transposable under vjp); the one
+    # numeric difference vs the kernel's fp32 accumulators is the bf16
+    # rounding of each conv output — below test tolerance.
     h = group_norm(x.astype(jnp.float32), gn1s, gn1b, num_groups1, eps)
     h = h * jax.nn.sigmoid(h)
     h = jax.lax.conv_general_dilated(
         h.astype(cdt), w0.astype(cdt), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     h = h + b0.astype(jnp.float32)
     h = h + temb_row.astype(jnp.float32)[:, None, None, :]
     h = group_norm(h, gn2s, gn2b, num_groups2, eps)
     h = h * jax.nn.sigmoid(h)
     h = jax.lax.conv_general_dilated(
         h.astype(cdt), w1.astype(cdt), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     h = h + b1.astype(jnp.float32)
 
     if wskip is not None:
-        xs = jnp.einsum("nhwc,cd->nhwd", x.astype(cdt), wskip.astype(cdt),
-                        preferred_element_type=jnp.float32)
+        xs = jnp.einsum("nhwc,cd->nhwd", x.astype(cdt),
+                        wskip.astype(cdt)).astype(jnp.float32)
         xs = xs + bskip.astype(jnp.float32)
     else:
         xs = x.astype(jnp.float32)
@@ -239,6 +237,195 @@ def fused_resblock_reference(x: Array, temb_row: Array, params: Tuple,
     if rescale:
         out = out * INV_SQRT2
     return out.astype(x.dtype)
+
+
+def _fused_resblock_cat_kernel(x1_ref, x2_ref, temb_ref, gn1sa_ref,
+                               gn1ba_ref, gn1sb_ref, gn1bb_ref,
+                               w0_ref, b0_ref, gn2s_ref, gn2b_ref, w1_ref,
+                               b1_ref, wskipa_ref, wskipb_ref, bskip_ref,
+                               o_ref, pad0_ref,
+                               pad1_ref, *, eps: float, rescale: bool,
+                               H: int, W: int, c1: int, c2: int, cout: int,
+                               bt: int, g1: int, g2: int, compute_dtype):
+    """Concat-input variant: the UNet up path feeds concat(h, skip) into the
+    block (ref ncsnpp.py:330); concatenating in VMEM saves the XLA
+    materialization (one full write + read of the widest tensors per
+    up-block). Requires c1 % 128 == 0 (lane-aligned seam) — true for every
+    NCSN++ configuration (channels are nf multiples).
+    """
+    cin = c1 + c2
+    x1 = x1_ref[...].astype(jnp.float32)
+    x2 = x2_ref[...].astype(jnp.float32)
+
+    pad0_ref[...] = jnp.zeros_like(pad0_ref)
+    pad1_ref[...] = jnp.zeros_like(pad1_ref)
+
+    # GN1 across the seam: global groups, per-part one-hot blocks.
+    # Per-part stats/broadcasts go through per-part matmuls (lane-dim
+    # slices of the broadcast vectors lower to unsupported gathers).
+    M = _group_onehot_inkernel(cin, g1)
+    Ma = M[:c1]   # (c1, G) — sublane slices are supported
+    Mb = M[c1:]
+    n1 = float(H * W * cin // g1)
+    sums = jnp.dot(jnp.sum(x1, axis=(1, 2)), Ma,
+                   preferred_element_type=jnp.float32) \
+        + jnp.dot(jnp.sum(x2, axis=(1, 2)), Mb,
+                  preferred_element_type=jnp.float32)
+    sqs = jnp.dot(jnp.sum(x1 * x1, axis=(1, 2)), Ma,
+                  preferred_element_type=jnp.float32) \
+        + jnp.dot(jnp.sum(x2 * x2, axis=(1, 2)), Mb,
+                  preferred_element_type=jnp.float32)
+    mean_g = sums / n1
+    var_g = sqs / n1 - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+
+    def norm_part(xp, Mp, scale_p, bias_p):
+        mean_p = jnp.dot(mean_g, Mp.T, preferred_element_type=jnp.float32)
+        rstd_p = jnp.dot(rstd_g, Mp.T, preferred_element_type=jnp.float32)
+        h = (xp - mean_p[:, None, None, :]) * rstd_p[:, None, None, :]
+        h = h * scale_p[None, None, None, :] + bias_p[None, None, None, :]
+        return h * jax.nn.sigmoid(h)
+
+    pad0_ref[:, 1:H + 1, 1:W + 1, :c1] = norm_part(
+        x1, Ma, gn1sa_ref[0], gn1ba_ref[0]).astype(compute_dtype)
+    pad0_ref[:, 1:H + 1, 1:W + 1, c1:] = norm_part(
+        x2, Mb, gn1sb_ref[0], gn1bb_ref[0]).astype(compute_dtype)
+
+    acc = jnp.zeros((bt, H, W, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = pad0_ref[:, dy:dy + H, dx:dx + W, :]
+            win2 = win.reshape(bt * H * W, cin)
+            wk = w0_ref[3 * dy + dx].astype(compute_dtype)
+            acc = acc + jnp.dot(win2, wk,
+                                preferred_element_type=jnp.float32
+                                ).reshape(bt, H, W, cout)
+    acc = acc + b0_ref[0][None, None, None, :]
+    acc = acc + temb_ref[...].astype(jnp.float32)[:, :, None, :]
+
+    n2 = float(H * W * cout // g2)
+    h2 = _gn_silu_inkernel(acc, gn2s_ref[0], gn2b_ref[0], cout, g2, n2, eps)
+    acc2 = _conv3x3_inkernel(pad1_ref, h2, w1_ref, bt, H, W, cout, cout,
+                             compute_dtype)
+    acc2 = acc2 + b1_ref[0][None, None, None, :]
+
+    # skip projection on the concat input, split at the seam
+    xs = jnp.dot(x1_ref[...].astype(compute_dtype).reshape(bt * H * W, c1),
+                 wskipa_ref[...].astype(compute_dtype),
+                 preferred_element_type=jnp.float32) \
+        + jnp.dot(x2_ref[...].astype(compute_dtype).reshape(bt * H * W, c2),
+                  wskipb_ref[...].astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    xs = xs.reshape(bt, H, W, cout) + bskip_ref[0][None, None, None, :]
+
+    out = xs + acc2
+    if rescale:
+        out = out * INV_SQRT2
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def fused_resblock_cat_pallas(x1: Array, x2: Array, temb_row: Array,
+                              params: Tuple, *, num_groups1: int,
+                              num_groups2: int, eps: float = 1e-6,
+                              rescale: bool = True,
+                              interpret: bool = False) -> Array:
+    """Concat-input raw Pallas call; params as fused_resblock_pallas with
+    w0 (3,3,c1+c2,cout) and wskip (c1+c2,cout) mandatory."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (gn1s, gn1b, w0, b0, gn2s, gn2b, w1, b1, wskip, bskip) = params
+    N, H, W, c1 = x1.shape
+    c2 = x2.shape[-1]
+    cin = c1 + c2
+    cout = w0.shape[-1]
+    assert wskip is not None, "concat blocks always project the skip"
+    compute_dtype = x1.dtype if x1.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    bt = _pick_batch_tile(N, H, W, cin, cout)
+
+    w0_9 = w0.reshape(9, cin, cout)
+    w1_9 = w1.reshape(9, cout, cout)
+    f32 = jnp.float32
+
+    kernel = functools.partial(
+        _fused_resblock_cat_kernel, eps=eps, rescale=rescale, H=H, W=W,
+        c1=c1, c2=c2, cout=cout, bt=bt, g1=num_groups1, g2=num_groups2,
+        compute_dtype=compute_dtype)
+
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731 — replicated operand
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, H, W, c1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H, W, c2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, c1), full(1, c1), full(1, c2), full(1, c2),
+            full(9, cin, cout), full(1, cout),
+            full(1, cout), full(1, cout),
+            full(9, cout, cout), full(1, cout),
+            full(c1, cout), full(c2, cout), full(1, cout),
+        ],
+        out_specs=pl.BlockSpec((bt, H, W, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, cout), x1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, H + 2, W + 2, cin), compute_dtype),
+            pltpu.VMEM((bt, H + 2, W + 2, cout), compute_dtype),
+        ],
+        interpret=interpret,
+    )(x1, x2, temb_row.astype(x1.dtype)[:, None, :],
+      gn1s[:c1].astype(f32).reshape(1, c1),
+      gn1b[:c1].astype(f32).reshape(1, c1),
+      gn1s[c1:].astype(f32).reshape(1, c2),
+      gn1b[c1:].astype(f32).reshape(1, c2),
+      w0_9, b0.astype(f32).reshape(1, cout),
+      gn2s.astype(f32).reshape(1, cout), gn2b.astype(f32).reshape(1, cout),
+      w1_9, b1.astype(f32).reshape(1, cout),
+      wskip[:c1], wskip[c1:], bskip.astype(f32).reshape(1, cout))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_resblock_cat(x1: Array, x2: Array, temb_row: Array, params: Tuple,
+                       num_groups1: int, num_groups2: int,
+                       eps: float = 1e-6, rescale: bool = True,
+                       interpret: bool = False) -> Array:
+    return fused_resblock_cat_pallas(
+        x1, x2, temb_row, params, num_groups1=num_groups1,
+        num_groups2=num_groups2, eps=eps, rescale=rescale,
+        interpret=interpret)
+
+
+def _frbc_fwd(x1, x2, temb_row, params, num_groups1, num_groups2, eps,
+              rescale, interpret):
+    out = fused_resblock_cat_pallas(
+        x1, x2, temb_row, params, num_groups1=num_groups1,
+        num_groups2=num_groups2, eps=eps, rescale=rescale,
+        interpret=interpret)
+    return out, (x1, x2, temb_row, params)
+
+
+def _frbc_bwd(num_groups1, num_groups2, eps, rescale, interpret, res, g):
+    x1, x2, temb_row, params = res
+
+    def ref(xx1, xx2, tt, pp):
+        return fused_resblock_reference(
+            jnp.concatenate([xx1, xx2], axis=-1), tt, pp,
+            num_groups1=num_groups1, num_groups2=num_groups2, eps=eps,
+            rescale=rescale)
+
+    _, vjp = jax.vjp(ref, x1, x2, temb_row, params)
+    return vjp(g)
+
+
+fused_resblock_cat.defvjp(_frbc_fwd, _frbc_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

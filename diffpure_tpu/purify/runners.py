@@ -167,6 +167,13 @@ def purify_ode(model_fn: ModelFn, params, x: Array, key: Array,
         if cfg.grad_mode == "adjoint":
             assert cfg.ode_method == "euler", "adjoint path is Euler-only"
             x_pure = odeint_euler_adjoint(ode_fn, params, xt, t0, t1, n_steps)
+        elif cfg.grad_mode == "reversible":
+            # reversible Heun with zero diffusion = reversible ODE Heun:
+            # exact O(1)-memory gradients, 2nd-order (solvers/reversible.py)
+            from diffpure_tpu.solvers.reversible import sdeint_reversible_heun
+            x_pure = sdeint_reversible_heun(
+                ode_fn, lambda tb: jnp.zeros_like(tb), params, xt, t0, t1,
+                n_steps, jax.random.fold_in(key, 97))
         else:
             solver = odeint_heun if cfg.ode_method == "heun" else odeint_euler
             x_pure = solver(lambda xx, tt: ode_fn(params, xx, tt),

@@ -33,9 +33,14 @@ DiffusionFn = Callable[[Array], Array]
 
 
 def brownian_increment(key: Array, i: Array, shape, dt, dtype=jnp.float32) -> Array:
-    """dW_i ~ N(0, dt), reconstructible from (key, i)."""
+    """dW_i ~ N(0, |dt|), reconstructible from (key, i).
+
+    |dt| keeps backward-in-time grids (descending ts, e.g. the ODE path
+    reusing an SDE solver with zero diffusion) NaN-free: sqrt(negative)
+    would poison the state even when multiplied by a zero diffusion.
+    """
     return jax.random.normal(jax.random.fold_in(key, i), shape, dtype) * jnp.sqrt(
-        jnp.asarray(dt, dtype))
+        jnp.abs(jnp.asarray(dt, dtype)))
 
 
 def _expand(coef: Array, x: Array) -> Array:

@@ -98,6 +98,140 @@ class TestKernelNumerics:
                                        atol=1e-6)
 
 
+class TestConcatVariant:
+    """fused_resblock_cat: the UNet up-path concat happens in VMEM."""
+
+    @pytest.mark.parametrize("c1,c2,cout", [(128, 128, 128),
+                                            (256, 128, 256)])
+    def test_matches_concat_reference(self, rng, c1, c2, cout):
+        from diffpure_tpu.ops.fused_resblock import (
+            fused_resblock_cat, fused_resblock_cat_pallas)
+        cin = c1 + c2
+        H, N = 8, 4
+        x1 = jnp.asarray(rng.randn(N, H, H, c1).astype(np.float32) * 0.5)
+        x2 = jnp.asarray(rng.randn(N, H, H, c2).astype(np.float32) * 0.5)
+        temb = jnp.asarray(rng.randn(N, cout).astype(np.float32) * 0.3)
+        params = tuple(jnp.asarray(a) for a in [
+            1 + 0.1 * rng.randn(cin).astype(np.float32),
+            0.1 * rng.randn(cin).astype(np.float32),
+            rng.randn(3, 3, cin, cout).astype(np.float32) * 0.05,
+            0.1 * rng.randn(cout).astype(np.float32),
+            1 + 0.1 * rng.randn(cout).astype(np.float32),
+            0.1 * rng.randn(cout).astype(np.float32),
+            rng.randn(3, 3, cout, cout).astype(np.float32) * 0.05,
+            0.1 * rng.randn(cout).astype(np.float32),
+            rng.randn(cin, cout).astype(np.float32) * 0.1,
+            0.1 * rng.randn(cout).astype(np.float32)])
+        g1, g2 = min(cin // 4, 32), min(cout // 4, 32)
+        want = fused_resblock_reference(
+            jnp.concatenate([x1, x2], -1), temb, params,
+            num_groups1=g1, num_groups2=g2)
+        got = fused_resblock_cat_pallas(x1, x2, temb, params,
+                                        num_groups1=g1, num_groups2=g2,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+        def f_fused(x1, x2):
+            return fused_resblock_cat(x1, x2, temb, params, g1, g2, 1e-6,
+                                      True, True).sum()
+
+        def f_ref(x1, x2):
+            return fused_resblock_reference(
+                jnp.concatenate([x1, x2], -1), temb, params,
+                num_groups1=g1, num_groups2=g2).sum()
+
+        g_f = jax.grad(f_fused, argnums=(0, 1))(x1, x2)
+        g_r = jax.grad(f_ref, argnums=(0, 1))(x1, x2)
+        for a, b in zip(g_f, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
+class TestBF16Gradients:
+    def test_custom_vjp_works_in_bf16(self, rng):
+        """Regression: the reference backward must be transposable when the
+        torso runs bf16 (mixed-dtype preferred_element_type convs are not)."""
+        x, temb, params = make_inputs(rng, 64, 64, skip=False)
+        x = x.astype(jnp.bfloat16)
+        g = 16
+
+        def f(x):
+            return fused_resblock(x, temb, params, g, g, 1e-6, True,
+                                  True).astype(jnp.float32).sum()
+
+        gx = jax.grad(f)(x)
+        assert gx.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
+
+
+class TestFusedAttnBlock:
+    def _inputs(self, rng, C=128, H=8, N=4):
+        x = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32) * 0.5)
+        params = tuple(jnp.asarray(a) for a in [
+            1 + 0.1 * rng.randn(C).astype(np.float32),
+            0.1 * rng.randn(C).astype(np.float32),
+            rng.randn(C, C).astype(np.float32) * 0.1,
+            0.1 * rng.randn(C).astype(np.float32),
+            rng.randn(C, C).astype(np.float32) * 0.1,
+            0.1 * rng.randn(C).astype(np.float32),
+            rng.randn(C, C).astype(np.float32) * 0.1,
+            0.1 * rng.randn(C).astype(np.float32),
+            rng.randn(C, C).astype(np.float32) * 0.1,
+            0.1 * rng.randn(C).astype(np.float32),
+        ])
+        return x, params
+
+    def test_matches_reference(self, rng):
+        from diffpure_tpu.ops.fused_attnblock import (
+            fused_attnblock_pallas, fused_attnblock_reference)
+        x, params = self._inputs(rng)
+        want = fused_attnblock_reference(x, params, num_groups=32)
+        got = fused_attnblock_pallas(x, params, num_groups=32,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_matches_unfused_attnblock(self, rng):
+        """Kernel vs the flax AttnBlockpp chain with shared params."""
+        from diffpure_tpu.models.layers import AttnBlockpp
+        from diffpure_tpu.ops.fused_attnblock import fused_attnblock_pallas
+        C = 64
+        x, params = self._inputs(rng, C=C)
+        blk = AttnBlockpp(skip_rescale=True)
+        bp = {"params": {
+            "GroupNorm_0": {"scale": params[0], "bias": params[1]},
+            "NIN_0": {"W": params[2], "b": params[3]},
+            "NIN_1": {"W": params[4], "b": params[5]},
+            "NIN_2": {"W": params[6], "b": params[7]},
+            "NIN_3": {"W": params[8], "b": params[9]},
+        }}
+        want = blk.apply(bp, x)
+        got = fused_attnblock_pallas(x, params, num_groups=16,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+    def test_grad_matches_reference(self, rng):
+        from diffpure_tpu.ops.fused_attnblock import (
+            fused_attnblock, fused_attnblock_reference)
+        x, params = self._inputs(rng, C=64)
+
+        def f_fused(x, p):
+            return fused_attnblock(x, p, 16, 1e-6, True, True).sum()
+
+        def f_ref(x, p):
+            return fused_attnblock_reference(x, p, num_groups=16).sum()
+
+        gx_f, gp_f = jax.grad(f_fused, argnums=(0, 1))(x, params)
+        gx_r, gp_r = jax.grad(f_ref, argnums=(0, 1))(x, params)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   atol=1e-6)
+        for a, b in zip(gp_f, gp_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 class TestModelIntegration:
     def _model_outputs(self, fused):
         from diffpure_tpu.models.ncsnpp import NCSNpp
