@@ -63,12 +63,19 @@ def main():
         # block_until_ready returns before the work drains.
         return jnp.float32(out.sum())
 
-    # model FLOPs per UNet eval from XLA's cost analysis (for mfu)
+    # model FLOPs per UNet eval from XLA's cost analysis (for mfu).
+    # Counted on the UNFUSED graph: cost analysis reports 0 for Pallas
+    # custom calls, which would understate FLOPs ~10x with fusion active.
     flops_per_eval = None
     try:
-        fwd = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))
-        ca = fwd.lower(params, x_img,
-                       jnp.full((BATCH,), 50.0)).compile().cost_analysis()
+        from diffpure_tpu.models import layers as _layers
+        _layers.set_fused_resblock(False)
+        try:
+            fwd = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))
+            ca = fwd.lower(params, x_img,
+                           jnp.full((BATCH,), 50.0)).compile().cost_analysis()
+        finally:
+            _layers.set_fused_resblock("auto")
         if isinstance(ca, list):
             ca = ca[0]
         flops_per_eval = float(ca.get("flops", 0.0)) or None
