@@ -503,10 +503,12 @@ class ResnetBlockBigGANpp(nn.Module):
                         name="Conv_2") if has_proj else None)
 
         # --- fused single-kernel path (ops/fused_resblock.py) -------------
-        # eval mode (dropout identity), no resampling, swish act
-        if (_fused_resblock_active() and not self.up and not self.down
-                and deterministic and self.act is nn.swish
-                and temb is not None and not self.is_initializing()):
+        # eval mode (dropout identity), swish act; naive (non-FIR) up/down
+        # resampling runs in-kernel too
+        if (_fused_resblock_active() and deterministic
+                and self.act is nn.swish and temb is not None
+                and not ((self.up or self.down) and self.fir)
+                and not self.is_initializing()):
             from diffpure_tpu.ops.fused_resblock import (fused_resblock,
                                                          fused_resblock_cat)
             temb_row = dense(self.act(temb))
@@ -515,7 +517,9 @@ class ResnetBlockBigGANpp(nn.Module):
                       proj.kernel[0, 0] if has_proj else None,
                       proj.bias if has_proj else None)
             interpret = jax.default_backend() != "tpu"
-            if (x_pair is not None and has_proj
+            resample = "up" if self.up else ("down" if self.down
+                                             else "none")
+            if (x_pair is not None and has_proj and resample == "none"
                     and x_pair[0].shape[-1] % 128 == 0):
                 return fused_resblock_cat(x_pair[0], x_pair[1], temb_row,
                                           params, g1, g2, 1e-6,
@@ -523,7 +527,7 @@ class ResnetBlockBigGANpp(nn.Module):
             if x_pair is not None:
                 x = jnp.concatenate(x_pair, axis=-1)
             return fused_resblock(x, temb_row, params, g1, g2, 1e-6,
-                                  self.skip_rescale, interpret)
+                                  self.skip_rescale, interpret, resample)
 
         if x_pair is not None:
             x = jnp.concatenate(x_pair, axis=-1)

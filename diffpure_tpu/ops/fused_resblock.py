@@ -77,13 +77,32 @@ def _conv3x3_inkernel(pad_ref, h, w9, bt, H, W, cin, cout, compute_dtype):
     return acc
 
 
+def _downsample2x_inkernel(x):
+    """2x average pool via lane-merge reshape + major-dim split (stride-2
+    slices lower to unsupported gathers in Mosaic)."""
+    B, H, W, C = x.shape
+    x2 = x.reshape(B, H, W // 2, 2 * C)          # adjacent W pairs -> lanes
+    wp = 0.5 * (x2[..., :C] + x2[..., C:])
+    x3 = wp.reshape(B, H // 2, 2, W // 2, C)
+    return 0.5 * (x3[:, :, 0] + x3[:, :, 1])
+
+
+def _upsample2x_inkernel(x):
+    """2x nearest-neighbor via lane-interleave + major-dim stack."""
+    B, H, W, C = x.shape
+    xw = jnp.concatenate([x[..., None, :], x[..., None, :]], axis=-2)
+    xw = xw.reshape(B, H, 2 * W, C)
+    xh = jnp.concatenate([xw[:, :, None], xw[:, :, None]], axis=2)
+    return xh.reshape(B, 2 * H, 2 * W, C)
+
+
 def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
                            b0_ref, gn2s_ref, gn2b_ref, w1_ref, b1_ref,
                            wskip_ref, bskip_ref, o_ref, pad0_ref, pad1_ref,
                            *, eps: float, has_skip_proj: bool,
                            rescale: bool, H: int, W: int, cin: int,
                            cout: int, bt: int, g1: int, g2: int,
-                           compute_dtype):
+                           resample: str, compute_dtype):
     x32 = x_ref[...].astype(jnp.float32)
 
     # zero the conv halos once per grid step (scratch persists across steps)
@@ -92,26 +111,39 @@ def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
 
     n1 = float(H * W * cin // g1)
     h = _gn_silu_inkernel(x32, gn1s_ref[0], gn1b_ref[0], cin, g1, n1, eps)
-    acc = _conv3x3_inkernel(pad0_ref, h, w0_ref, bt, H, W, cin, cout,
+    # BigGAN resample order: GN1+SiLU, then resample h AND the skip input
+    # (ref layerspp.py:224-236, naive up/down; fir handled unfused)
+    if resample == "down":
+        h = _downsample2x_inkernel(h)
+        xs_base = _downsample2x_inkernel(x32)
+        Ho, Wo = H // 2, W // 2
+    elif resample == "up":
+        h = _upsample2x_inkernel(h)
+        xs_base = _upsample2x_inkernel(x32)
+        Ho, Wo = H * 2, W * 2
+    else:
+        xs_base = x32
+        Ho, Wo = H, W
+    acc = _conv3x3_inkernel(pad0_ref, h, w0_ref, bt, Ho, Wo, cin, cout,
                             compute_dtype)
     acc = acc + b0_ref[0][None, None, None, :]
     acc = acc + temb_ref[...].astype(jnp.float32)[:, :, None, :]  # (bt,1,C)
 
-    n2 = float(H * W * cout // g2)
+    n2 = float(Ho * Wo * cout // g2)
     h2 = _gn_silu_inkernel(acc, gn2s_ref[0], gn2b_ref[0], cout, g2, n2,
                            eps)
-    acc2 = _conv3x3_inkernel(pad1_ref, h2, w1_ref, bt, H, W, cout, cout,
+    acc2 = _conv3x3_inkernel(pad1_ref, h2, w1_ref, bt, Ho, Wo, cout, cout,
                              compute_dtype)
     acc2 = acc2 + b1_ref[0][None, None, None, :]
 
     if has_skip_proj:
-        xs2 = x_ref[...].astype(compute_dtype).reshape(bt * H * W, cin)
+        xs2 = xs_base.astype(compute_dtype).reshape(bt * Ho * Wo, cin)
         xs = jnp.dot(xs2, wskip_ref[...].astype(compute_dtype),
                      preferred_element_type=jnp.float32
-                     ).reshape(bt, H, W, cout)
+                     ).reshape(bt, Ho, Wo, cout)
         xs = xs + bskip_ref[0][None, None, None, :]
     else:
-        xs = x32
+        xs = xs_base
 
     out = xs + acc2
     if rescale:
@@ -134,10 +166,12 @@ def _pick_batch_tile(N: int, H: int, W: int, cin: int, cout: int,
 def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
                           *, num_groups1: int, num_groups2: int,
                           eps: float = 1e-6, rescale: bool = True,
+                          resample: str = "none",
                           interpret: bool = False) -> Array:
     """Raw Pallas call (no custom_vjp). params =
     (gn1_scale, gn1_bias, w0[3,3,cin,cout], b0, gn2_scale, gn2_bias,
-     w1[3,3,cout,cout], b1, wskip[cin,cout] | None, bskip | None)."""
+     w1[3,3,cout,cout], b1, wskip[cin,cout] | None, bskip | None).
+    resample: 'none' | 'up' | 'down' (naive 2x, BigGAN up/down blocks)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -148,7 +182,13 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
     compute_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
 
-    bt = _pick_batch_tile(N, H, W, cin, cout)
+    if resample == "down":
+        Ho, Wo = H // 2, W // 2
+    elif resample == "up":
+        Ho, Wo = H * 2, W * 2
+    else:
+        Ho, Wo = H, W
+    bt = _pick_batch_tile(N, max(H, Ho), max(W, Wo), cin, cout)
 
     w0_9 = w0.reshape(9, cin, cout)
     w1_9 = w1.reshape(9, cout, cout)
@@ -160,7 +200,8 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
     kernel = functools.partial(
         _fused_resblock_kernel, eps=eps, has_skip_proj=has_skip_proj,
         rescale=rescale, H=H, W=W, cin=cin, cout=cout, bt=bt,
-        g1=num_groups1, g2=num_groups2, compute_dtype=compute_dtype)
+        g1=num_groups1, g2=num_groups2, resample=resample,
+        compute_dtype=compute_dtype)
 
     full = lambda *shape: pl.BlockSpec(  # noqa: E731 — replicated operand
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -181,12 +222,12 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
             full(9, cout, cout), full(1, cout),
             full(*wskip.shape), full(1, cout),
         ],
-        out_specs=pl.BlockSpec((bt, H, W, cout), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bt, Ho, Wo, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, H, W, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, Ho, Wo, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bt, H + 2, W + 2, cin), compute_dtype),
-            pltpu.VMEM((bt, H + 2, W + 2, cout), compute_dtype),
+            pltpu.VMEM((bt, Ho + 2, Wo + 2, cin), compute_dtype),
+            pltpu.VMEM((bt, Ho + 2, Wo + 2, cout), compute_dtype),
         ],
         interpret=interpret,
     )(x, temb_row.astype(x.dtype)[:, None, :],
@@ -200,11 +241,13 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
 
 def fused_resblock_reference(x: Array, temb_row: Array, params: Tuple,
                              *, num_groups1: int, num_groups2: int,
-                             eps: float = 1e-6, rescale: bool = True
-                             ) -> Array:
+                             eps: float = 1e-6, rescale: bool = True,
+                             resample: str = "none") -> Array:
     """jnp reference with the kernel's exact numerics (fp32 accumulation,
     fp32 GN on the accumulator). Differentiable — the custom_vjp backward."""
     from diffpure_tpu.ops.groupnorm import group_norm
+    from diffpure_tpu.ops.upfirdn2d import naive_downsample_2d, \
+        naive_upsample_2d
 
     (gn1s, gn1b, w0, b0, gn2s, gn2b, w1, b1, wskip, bskip) = params
     cdt = x.dtype
@@ -215,6 +258,12 @@ def fused_resblock_reference(x: Array, temb_row: Array, params: Tuple,
     # rounding of each conv output — below test tolerance.
     h = group_norm(x.astype(jnp.float32), gn1s, gn1b, num_groups1, eps)
     h = h * jax.nn.sigmoid(h)
+    if resample == "down":
+        h = naive_downsample_2d(h, factor=2)
+        x = naive_downsample_2d(x, factor=2)
+    elif resample == "up":
+        h = naive_upsample_2d(h, factor=2)
+        x = naive_upsample_2d(x, factor=2)
     h = jax.lax.conv_general_dilated(
         h.astype(cdt), w0.astype(cdt), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
@@ -428,31 +477,35 @@ def _frbc_bwd(num_groups1, num_groups2, eps, rescale, interpret, res, g):
 fused_resblock_cat.defvjp(_frbc_fwd, _frbc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_resblock(x: Array, temb_row: Array, params: Tuple,
                    num_groups1: int, num_groups2: int, eps: float = 1e-6,
-                   rescale: bool = True, interpret: bool = False) -> Array:
+                   rescale: bool = True, interpret: bool = False,
+                   resample: str = "none") -> Array:
     return fused_resblock_pallas(x, temb_row, params,
                                  num_groups1=num_groups1,
                                  num_groups2=num_groups2, eps=eps,
-                                 rescale=rescale, interpret=interpret)
+                                 rescale=rescale, resample=resample,
+                                 interpret=interpret)
 
 
 def _frb_fwd(x, temb_row, params, num_groups1, num_groups2, eps, rescale,
-             interpret):
+             interpret, resample):
     out = fused_resblock_pallas(x, temb_row, params,
                                 num_groups1=num_groups1,
                                 num_groups2=num_groups2, eps=eps,
-                                rescale=rescale, interpret=interpret)
+                                rescale=rescale, resample=resample,
+                                interpret=interpret)
     return out, (x, temb_row, params)
 
 
-def _frb_bwd(num_groups1, num_groups2, eps, rescale, interpret, res, g):
+def _frb_bwd(num_groups1, num_groups2, eps, rescale, interpret, resample,
+             res, g):
     x, temb_row, params = res
     _, vjp = jax.vjp(
         lambda xx, tt, pp: fused_resblock_reference(
             xx, tt, pp, num_groups1=num_groups1, num_groups2=num_groups2,
-            eps=eps, rescale=rescale),
+            eps=eps, rescale=rescale, resample=resample),
         x, temb_row, params)
     return vjp(g)
 

@@ -148,6 +148,60 @@ class TestConcatVariant:
                                        atol=1e-6)
 
 
+class TestResampleVariant:
+    """In-kernel naive 2x up/down resampling (BigGAN up/down blocks)."""
+
+    @pytest.mark.parametrize("resample", ["down", "up"])
+    def test_matches_reference(self, rng, resample):
+        cin = cout = 64
+        x, temb, params = make_inputs(rng, cin, cout, H=8, skip=True)
+        g = 16
+        want = fused_resblock_reference(x, temb, params, num_groups1=g,
+                                        num_groups2=g, resample=resample)
+        got = fused_resblock_pallas(x, temb, params, num_groups1=g,
+                                    num_groups2=g, resample=resample,
+                                    interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_matches_unfused_block(self, rng):
+        """Fused down-block vs the flax chain with shared params."""
+        from diffpure_tpu.models import layers as L2
+        import flax.linen as nn
+        blk = L2.ResnetBlockBigGANpp(out_ch=64, down=True)
+        x = jnp.asarray(rng.randn(4, 8, 8, 64).astype(np.float32) * 0.5)
+        temb = jnp.asarray(rng.randn(4, 32).astype(np.float32) * 0.3)
+        bp = blk.init(jax.random.PRNGKey(0), x, temb)
+        want = blk.apply(bp, x, temb)
+        L2.set_fused_resblock(True)
+        try:
+            got = blk.apply(bp, x, temb)
+        finally:
+            L2.set_fused_resblock("auto")
+        assert got.shape == want.shape == (4, 4, 4, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=5e-5)
+
+    def test_grad_matches_reference(self, rng):
+        x, temb, params = make_inputs(rng, 64, 64, H=8, skip=True)
+        g = 16
+
+        def f_fused(x):
+            return fused_resblock(x, temb, params, g, g, 1e-6, True, True,
+                                  "down").sum()
+
+        def f_ref(x):
+            return fused_resblock_reference(
+                x, temb, params, num_groups1=g, num_groups2=g,
+                resample="down").sum()
+
+        gx_f = jax.grad(f_fused)(x)
+        gx_r = jax.grad(f_ref)(x)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   atol=1e-6)
+
+
 class TestBF16Gradients:
     def test_custom_vjp_works_in_bf16(self, rng):
         """Regression: the reference backward must be transposable when the
