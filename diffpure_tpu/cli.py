@@ -32,9 +32,13 @@ def build_score_model(args, config):
     from diffpure_tpu.models import convert as mcv
     from diffpure_tpu.config import namespace2dict
 
+    import jax.numpy as _jnp
+    torso_dtype = _jnp.bfloat16 if getattr(args, "precision",
+                                           "fp32") == "bf16" else None
+
     domain = args.domain
     if "cifar10" in domain:
-        model = NCSNpp()
+        model = NCSNpp(dtype=torso_dtype)
         ckpt = "pretrained/score_sde/checkpoint_8.pth"
         if args.random_weights or not os.path.exists(ckpt):
             params = model.init(jax.random.PRNGKey(0),
@@ -62,7 +66,7 @@ def build_score_model(args, config):
         return (lambda p, x, t: model.apply(p, x, t)), params, 256
 
     if "celebahq" in domain:
-        model = DDPMUNet()
+        model = DDPMUNet(dtype=torso_dtype)
         ckpt = "pretrained/celebahq/celeba_hq.ckpt"
         if args.random_weights or not os.path.exists(ckpt):
             params = model.init(jax.random.PRNGKey(0),

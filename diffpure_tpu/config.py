@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "device dispatch (0 = whole run in one program); "
                         "bounds single-execution time on remote TPU "
                         "backends")
+    p.add_argument("--precision", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="score-model torso precision for the cifar10/"
+                        "celebahq paths (fp32 = reference-faithful; bf16 = "
+                        "the benched serving config, ~1.7x faster; the "
+                        "imagenet ADM path follows its config's use_fp16 "
+                        "-> bf16 regardless)")
     p.add_argument("--grad_mode", type=str, default="checkpoint",
                    choices=["checkpoint", "adjoint", "reversible", "none"])
     return p

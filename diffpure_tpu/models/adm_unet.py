@@ -455,5 +455,9 @@ def imagenet256_config(use_bf16: bool = True) -> dict:
         channel_mult=(1, 1, 2, 2, 4, 4), num_heads=4, num_head_channels=64,
         use_scale_shift_norm=True, resblock_updown=True,
         use_new_attention_order=False,
+        # Pallas online-softmax attention at the 1024-token level: ~4%
+        # faster end-to-end and avoids materializing (B,heads,1024,1024)
+        # score tensors (measured on-chip, docs/PERF.md)
+        use_flash=True,
         dtype=jnp.bfloat16 if use_bf16 else None,
     )
