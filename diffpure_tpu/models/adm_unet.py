@@ -57,6 +57,41 @@ class GroupNorm32(nn.Module):
         return out if x.ndim == 4 else out[:, :, 0, :]
 
 
+class GroupNorm32P(nn.Module):
+    """GroupNorm32 with setup-defined params so the tiled Pallas path can
+    read `.scale`/`.bias` (same names/shapes -> same checkpoints)."""
+    channels: int
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.channels,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.channels,))
+
+    def __call__(self, x: Array) -> Array:
+        shaped = x if x.ndim == 4 else x[:, :, None, :]
+        out = group_norm(shaped, self.scale, self.bias, self.num_groups,
+                         self.eps)
+        return out if x.ndim == 4 else out[:, :, 0, :]
+
+
+# maps larger than this (fp32 bytes per example) route GroupNorm through
+# the two-pass tiled Pallas op (ops/tiled_groupnorm.py) — the 256px UNets
+# are HBM-bound and this is 2r+1w instead of XLA's ~5-7 traversals
+_TILED_GN_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _use_tiled_gn(x) -> bool:
+    from diffpure_tpu.models.layers import _fused_resblock_active
+    if x.ndim != 4:
+        return False
+    H, W, C = x.shape[1], x.shape[2], x.shape[3]
+    return (_fused_resblock_active()
+            and H * W * C * 4 >= _TILED_GN_MIN_BYTES and H % 2 == 0)
+
+
 class ResBlockADM(nn.Module):
     """ADM residual block with FiLM conditioning (ref unet.py:151-265)."""
     out_channels: int
@@ -77,7 +112,17 @@ class ResBlockADM(nn.Module):
             feats, (3, 3), padding="SAME", kernel_init=init, dtype=self.dtype,
             name=name)
 
-        h = nn.swish(GroupNorm32(name="in_layers_0")(x))
+        gn_in = GroupNorm32P(in_ch, name="in_layers_0")
+        gn_out = GroupNorm32P(self.out_channels, name="out_layers_0")
+        tiled = (not train and not self.is_initializing()
+                 and _use_tiled_gn(x))
+        interpret = jax.default_backend() != "tpu"
+        if tiled:
+            from diffpure_tpu.ops.tiled_groupnorm import group_norm_film_silu
+            h = group_norm_film_silu(x, gn_in.scale, gn_in.bias, 32, 1e-5,
+                                     None, None, True, interpret)
+        else:
+            h = nn.swish(gn_in(x))
         if self.up:
             N, H, W, C = h.shape
             h = jax.image.resize(h, (N, H * 2, W * 2, C), "nearest")
@@ -91,15 +136,30 @@ class ResBlockADM(nn.Module):
             2 * self.out_channels if self.use_scale_shift_norm
             else self.out_channels,
             dtype=self.dtype, name="emb_layers_1")(nn.swish(emb))
-        emb_out = emb_out[:, None, None, :].astype(h.dtype)
 
+        tiled_h = (not train and not self.is_initializing()
+                   and _use_tiled_gn(h))
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_layers_0")(h) * (1 + scale) + shift
-            h = nn.swish(h)
+            scale, shift = jnp.split(emb_out.astype(h.dtype), 2, axis=-1)
+            if tiled_h:
+                from diffpure_tpu.ops.tiled_groupnorm import \
+                    group_norm_film_silu
+                h = group_norm_film_silu(h, gn_out.scale, gn_out.bias, 32,
+                                         1e-5, scale, shift, True,
+                                         interpret)
+            else:
+                h = gn_out(h) * (1 + scale[:, None, None, :]) \
+                    + shift[:, None, None, :]
+                h = nn.swish(h)
         else:
-            h = h + emb_out
-            h = nn.swish(GroupNorm32(name="out_layers_0")(h))
+            h = h + emb_out[:, None, None, :].astype(h.dtype)
+            if tiled_h:
+                from diffpure_tpu.ops.tiled_groupnorm import \
+                    group_norm_film_silu
+                h = group_norm_film_silu(h, gn_out.scale, gn_out.bias, 32,
+                                         1e-5, None, None, True, interpret)
+            else:
+                h = nn.swish(gn_out(h))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv(self.out_channels, "out_layers_3", init=zero_init())(h)
 

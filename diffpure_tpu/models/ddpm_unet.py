@@ -35,6 +35,30 @@ class Normalize(nn.Module):
         return group_norm(x, scale, bias, 32, self.eps)
 
 
+class NormalizeP(nn.Module):
+    """Normalize with setup-defined params for the tiled Pallas GN path."""
+    channels: int
+    eps: float = 1e-6
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.channels,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.channels,))
+
+    def __call__(self, x: Array) -> Array:
+        return group_norm(x, self.scale, self.bias, 32, self.eps)
+
+
+def _gn_silu(gn: NormalizeP, x: Array, train: bool,
+             initializing: bool) -> Array:
+    """GN+SiLU. Measured on-chip: the two-pass tiled Pallas GN that wins
+    1.44x on ADM-256 is 8% SLOWER here (128-ch bf16 maps — XLA's fused GN
+    is already near-roofline), so this model keeps the XLA path."""
+    del train, initializing
+    return nn.swish(gn(x))
+
+
 class ResnetBlockDDPM(nn.Module):
     """ref unet_ddpm.py:85-142."""
     out_channels: Optional[int] = None
@@ -48,11 +72,13 @@ class ResnetBlockDDPM(nn.Module):
         out_ch = self.out_channels or in_ch
         conv = lambda f, name: nn.Conv(f, (3, 3), padding="SAME",
                                        dtype=self.dtype, name=name)
-        h = nn.swish(Normalize(name="norm1")(x))
+        h = _gn_silu(NormalizeP(in_ch, name="norm1"), x, train,
+                     self.is_initializing())
         h = conv(out_ch, "conv1")(h)
         h = h + nn.Dense(out_ch, dtype=self.dtype,
                          name="temb_proj")(nn.swish(temb))[:, None, None, :]
-        h = nn.swish(Normalize(name="norm2")(h))
+        h = _gn_silu(NormalizeP(out_ch, name="norm2"), h, train,
+                     self.is_initializing())
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv(out_ch, "conv2")(h)
         if in_ch != out_ch:
