@@ -26,6 +26,11 @@ from diffpure_tpu.purify import PurifyConfig, purify
 Array = jax.Array
 
 
+def _callbacks_ok() -> bool:
+    from diffpure_tpu.utils.profiling import host_callbacks_supported
+    return host_callbacks_supported()
+
+
 @dataclasses.dataclass
 class DefendedModel:
     """purify+classify with [0,1] NHWC input contract."""
@@ -57,7 +62,7 @@ class DefendedModel:
         x = (x - 0.5) * 2.0  # [0,1] -> [-1,1] (ref eval_sde_adv.py:78)
         x_pure = purify(self.score_model_fn, self.score_params, x, key,
                         self.purify_cfg)
-        if self.debug_dir is not None:
+        if self.debug_dir is not None and _callbacks_ok():
             # runtime-gated host callback: fires on actual executions (also
             # inside jitted attack loops), dumps only the first 2 on host
             jax.debug.callback(self._host_dump, x, x_pure)
@@ -68,10 +73,13 @@ class DefendedModel:
 
     def __call__(self, x01: Array, key: Array) -> Array:
         """purify_and_classify — the attack surface."""
-        if self.log_every:
+        if self.log_every and _callbacks_ok():
             # host callback, not a Python counter: a Python-side tick would
             # freeze at trace time inside compiled attack scans — this one
-            # fires once per runtime execution (ref eval_sde_adv.py:57-91)
+            # fires once per runtime execution (ref eval_sde_adv.py:57-91).
+            # Skipped on backends that reject host callbacks (profiling.
+            # host_callbacks_supported) — instrumentation must never break
+            # an eval.
             shape = tuple(x01.shape)
             jax.debug.callback(lambda: self._host_tick(shape))
         return self.classify(self.purify(x01, key))

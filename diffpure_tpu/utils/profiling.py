@@ -67,11 +67,32 @@ def count_nfe() -> Iterator[NFECounter]:
         set_global_nfe_counter(None)
 
 
+# Remote-execution PJRT plugins that reject host send/recv callbacks at run
+# time ("UNIMPLEMENTED: ... does not support host send/recv callbacks").
+# A static denylist rather than an execution probe: the first caller is
+# typically *inside* a jit trace (solvers call record_nfe at trace time),
+# where running a probe program is impossible.
+_CALLBACK_DENYLIST = ("axon",)
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the active backend executes jax.debug.callback.
+
+    The optional instrumentation (NFE ledger, defended-model ticks, debug
+    dumps) must degrade to no-ops instead of crashing evals on hardware
+    backends that cannot run host callbacks.
+    """
+    try:
+        return jax.default_backend() not in _CALLBACK_DENYLIST
+    except Exception:
+        return False
+
+
 def record_nfe(phase: str, nfe: int) -> None:
     """Called by solvers at trace time with their static per-invocation NFE
     (forward evaluations; gradient-pass recomputation is not counted).
     Fires once per runtime execution via jax.debug.callback."""
-    if _GLOBAL_NFE is None:
+    if _GLOBAL_NFE is None or not host_callbacks_supported():
         return
 
     def _bump():
