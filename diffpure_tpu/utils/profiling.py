@@ -69,10 +69,13 @@ def count_nfe() -> Iterator[NFECounter]:
 
 # Remote-execution PJRT plugins that reject host send/recv callbacks at run
 # time ("UNIMPLEMENTED: ... does not support host send/recv callbacks").
-# A static denylist rather than an execution probe: the first caller is
-# typically *inside* a jit trace (solvers call record_nfe at trace time),
-# where running a probe program is impossible.
+# Identified by the client's platform_version (such plugins register as
+# platform "tpu", so the platform name alone cannot tell). A static check
+# rather than an execution probe: the first caller is typically *inside* a
+# jit trace (solvers call record_nfe at trace time), where running a probe
+# program is impossible.
 _CALLBACK_DENYLIST = ("axon",)
+_HOST_CALLBACKS_OK: Optional[bool] = None
 
 
 def host_callbacks_supported() -> bool:
@@ -82,10 +85,16 @@ def host_callbacks_supported() -> bool:
     dumps) must degrade to no-ops instead of crashing evals on hardware
     backends that cannot run host callbacks.
     """
-    try:
-        return jax.default_backend() not in _CALLBACK_DENYLIST
-    except Exception:
-        return False
+    global _HOST_CALLBACKS_OK
+    if _HOST_CALLBACKS_OK is None:
+        try:
+            client = jax.devices()[0].client
+            pv = (getattr(client, "platform_version", "") or "").lower()
+            _HOST_CALLBACKS_OK = not any(p in pv
+                                         for p in _CALLBACK_DENYLIST)
+        except Exception:
+            _HOST_CALLBACKS_OK = False
+    return _HOST_CALLBACKS_OK
 
 
 def record_nfe(phase: str, nfe: int) -> None:
