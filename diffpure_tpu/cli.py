@@ -38,7 +38,11 @@ def build_score_model(args, config):
 
     domain = args.domain
     if "cifar10" in domain:
-        model = NCSNpp(dtype=torso_dtype)
+        # built FROM the yaml config like the reference's create_model
+        # (custom nf/ch_mult/... configs work; cifar10.yml reproduces the
+        # published 107M model)
+        from diffpure_tpu.models.factories import ncsnpp_from_config
+        model = ncsnpp_from_config(config, dtype=torso_dtype)
         ckpt = "pretrained/score_sde/checkpoint_8.pth"
         if args.random_weights or not os.path.exists(ckpt):
             params = model.init(jax.random.PRNGKey(0),

@@ -52,3 +52,57 @@ def test_cli_cifar_smoke(workdir):
     log_dir = os.path.join("exp", "images", "cifar10-wideresnet-28-10",
                            "sde_custom", "seed1234", "data0")
     assert os.path.exists(os.path.join(log_dir, "log.txt"))
+
+
+def test_cli_loads_real_score_checkpoint(workdir, monkeypatch):
+    """End-to-end CLI with a reference-generated checkpoint_8.pth: a small
+    config yaml drives ncsnpp_from_config (the create_model(config)
+    equivalent), and the real score_sde file-loading path runs instead of
+    --random_weights."""
+    import sys
+    import torch
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import reference_oracle as ro
+    from test_checkpoint_fidelity import _ema_train_steps, SMALL_NCSN
+
+    # small config yaml matching SMALL_NCSN
+    cfg_path = os.path.join("configs", "cifar10.yml")
+    with open(cfg_path) as f:
+        cfg_text = f.read()
+    cfg_text = (cfg_text
+                .replace("nf: 128", "nf: 32")
+                .replace("num_res_blocks: 8", "num_res_blocks: 2")
+                .replace("ch_mult: [1, 2, 2, 2]", "ch_mult: [1, 2]")
+                .replace("attn_resolutions: [16]", "attn_resolutions: [8]")
+                .replace("image_size: 32", "image_size: 16"))
+    with open(os.path.join("configs", "small.yml"), "w") as f:
+        f.write(cfg_text)
+
+    torch.manual_seed(0)
+    ref = ro.load_reference_ncsnpp(ro.cifar10_ref_config(**SMALL_NCSN))
+    ema = _ema_train_steps(ref)
+    opt = torch.optim.Adam(ref.parameters(), lr=2e-4)
+    os.makedirs("pretrained/score_sde", exist_ok=True)
+    torch.save(dict(optimizer=opt.state_dict(), model=ref.state_dict(),
+                    ema=ema.state_dict(), step=8),
+               "pretrained/score_sde/checkpoint_8.pth")
+
+    from diffpure_tpu import cli
+    results = cli.main([
+        "--config", "small.yml",
+        "--domain", "cifar10",
+        "--classifier_name", "cifar10-wideresnet-28-10",
+        "--diffusion_type", "sde",
+        "--score_type", "score_sde",
+        "--attack_version", "custom",
+        "--t", "2",
+        "--num_sub", "2",
+        "--adv_eps", "0.031373",
+    ])
+    assert "defended_robust_acc" in results
+    # the run dir log must NOT contain the missing-checkpoint fallback
+    log_dir = os.path.join("exp", "images", "cifar10-wideresnet-28-10",
+                           "sde_custom", "seed1234", "data0")
+    with open(os.path.join(log_dir, "log.txt")) as f:
+        log = f.read()
+    assert "checkpoint_8.pth missing" not in log
