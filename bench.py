@@ -63,24 +63,13 @@ def main():
         # block_until_ready returns before the work drains.
         return jnp.float32(out.sum())
 
-    # model FLOPs per UNet eval from XLA's cost analysis (for mfu).
-    # Counted on the UNFUSED graph: cost analysis reports 0 for Pallas
-    # custom calls, which would understate FLOPs ~10x with fusion active.
-    flops_per_eval = None
-    try:
-        from diffpure_tpu.models import layers as _layers
-        _layers.set_fused_resblock(False)
-        try:
-            fwd = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))
-            ca = fwd.lower(params, x_img,
-                           jnp.full((BATCH,), 50.0)).compile().cost_analysis()
-        finally:
-            _layers.set_fused_resblock("auto")
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops_per_eval = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    # Model FLOPs per UNet eval for the mfu field. The measured constant
+    # for this exact fixed config (full CIFAR NCSN++, B=128) from XLA cost
+    # analysis of the UNFUSED graph — cost analysis reports 0 for Pallas
+    # custom calls, and recompiling the unfused model just to count FLOPs
+    # costs ~5 min of remote compile per bench run (docs/PERF.md documents
+    # the derivation: 34.70 GFLOP/img/eval).
+    flops_per_eval = 34.70e9 * BATCH
 
     # compile + warmup (absorbs the remote-compile cold start)
     t0 = time.time()
