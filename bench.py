@@ -1,12 +1,14 @@
-"""Benchmark: purified images/sec/chip on the CIFAR-10 DiffPure config.
+"""Benchmark: purified images/sec/chip across the headline workloads.
 
-Measures the headline workload (BASELINE.md north star): full NCSN++
-(107M params, configs/cifar10.yml) reverse VP-SDE purification with t*=100
-Euler-Maruyama steps (= 100 UNet evals per image), batch 128, on whatever
-accelerator jax provides. Prints ONE JSON line.
+Headline (BASELINE.md north star): full NCSN++ (107M params,
+configs/cifar10.yml) reverse VP-SDE purification with t*=100 Euler-Maruyama
+steps (= 100 UNet evals per image), batch 128, bf16. Prints ONE JSON line;
+the secondary workloads (accelerated CIFAR DPM-Solver++@20 and the
+ImageNet-256 ADM t*=150 discrete loop — the other axis of the north-star
+metric) are audited in the same line under "workloads".
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the paper-era
-single-V100 throughput for this exact config is ~10 purified images/s
+single-V100 throughput for the headline config is ~10 purified images/s
 (batch 128-equivalent, torch eager) — used as the documented denominator.
 Re-derive on real reference hardware when available.
 
@@ -27,6 +29,19 @@ REFERENCE_IMGS_PER_SEC_V100 = 10.0
 BATCH = 128
 T_STAR = 100
 
+# Model FLOPs per image per UNet eval for the informational mfu field,
+# measured once via XLA cost analysis of the UNFUSED graph (cost analysis
+# reports 0 for Pallas custom calls; docs/PERF.md documents the derivation).
+# Valid ONLY for the exact configs whose param counts are asserted below —
+# a config drift fails the bench loudly instead of silently faking MFU.
+CIFAR_GFLOP_PER_IMG_EVAL = 34.70
+CIFAR_EXPECTED_PARAMS = 106_632_579  # NCSNpp() CIFAR config
+ADM_EXPECTED_PARAMS = 552_814_086    # imagenet256_config(use_bf16=True)
+
+ADM_BATCH = 8
+ADM_T_STAR = 150
+DPM_STEPS = 20
+
 # bf16 peak of the benched chip family (TPU v5e ~197 TFLOP/s). Only used
 # for the informational mfu field; throughput is measured.
 PEAK_BF16_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0,
@@ -41,7 +56,27 @@ def _peak_tflops() -> float:
     return 197.0
 
 
-def main():
+def _param_count(params) -> int:
+    import numpy as np
+    return sum(int(np.prod(v.shape))
+               for v in jax.tree_util.tree_leaves(params))
+
+
+def _timed(run, params, x, key, n_iters=2):
+    """(mean seconds per call, compile seconds). The float() host fetch is
+    the only reliable sync on remote-execution backends where
+    block_until_ready returns before the work drains."""
+    t0 = time.time()
+    float(run(params, x, jax.random.fold_in(key, 2)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(n_iters):
+        float(run(params, x, jax.random.fold_in(key, 3 + i)))
+    return (time.time() - t0) / n_iters, compile_s
+
+
+def bench_cifar(n_steps=None, tag="euler"):
+    """CIFAR NCSN++ reverse-SDE (Euler t* steps) or DPM-Solver++(2M)."""
     from diffpure_tpu.models.ncsnpp import NCSNpp
     from diffpure_tpu.purify import PurifyConfig, purify
 
@@ -50,40 +85,67 @@ def main():
     x_img = jax.random.uniform(key, (BATCH, 32, 32, 3)) * 2 - 1
     params = model.init(jax.random.fold_in(key, 1),
                         jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+    n_params = _param_count(params)
+    assert n_params == CIFAR_EXPECTED_PARAMS, (
+        f"benched NCSN++ has {n_params} params != the config the "
+        f"{CIFAR_GFLOP_PER_IMG_EVAL} GFLOP constant was derived for")
 
-    cfg = PurifyConfig(diffusion_type="sde", t=T_STAR,
-                       score_type="score_sde", grad_mode="none")
+    if tag == "euler":
+        cfg = PurifyConfig(diffusion_type="sde", t=T_STAR,
+                           score_type="score_sde", grad_mode="none")
+        nfe = T_STAR
+    else:
+        cfg = PurifyConfig(diffusion_type="dpm", t=T_STAR,
+                           n_steps=n_steps, score_type="score_sde",
+                           grad_mode="none")
+        nfe = n_steps
 
     @jax.jit
     def run(params, x, k):
         out = purify(lambda p, xx, tt: model.apply(p, xx, tt),
                      params, x, k, cfg)
-        # scalar checksum: forces the full computation; the tiny host fetch
-        # is the only reliable sync on remote-execution backends where
-        # block_until_ready returns before the work drains.
         return jnp.float32(out.sum())
 
-    # Model FLOPs per UNet eval for the mfu field. The measured constant
-    # for this exact fixed config (full CIFAR NCSN++, B=128) from XLA cost
-    # analysis of the UNFUSED graph — cost analysis reports 0 for Pallas
-    # custom calls, and recompiling the unfused model just to count FLOPs
-    # costs ~5 min of remote compile per bench run (docs/PERF.md documents
-    # the derivation: 34.70 GFLOP/img/eval).
-    flops_per_eval = 34.70e9 * BATCH
+    dt, compile_s = _timed(run, params, x_img, key)
+    return dt, compile_s, nfe
 
-    # compile + warmup (absorbs the remote-compile cold start)
-    t0 = time.time()
-    float(run(params, x_img, jax.random.fold_in(key, 2)))
-    compile_s = time.time() - t0
 
-    n_iters = 2
-    t0 = time.time()
-    for i in range(n_iters):
-        float(run(params, x_img, jax.random.fold_in(key, 3 + i)))
-    dt = (time.time() - t0) / n_iters
+def bench_adm256():
+    """ImageNet-256 ADM t*=150 discrete guided loop (ref diffpure_guided)."""
+    from diffpure_tpu.models.adm_unet import ADMUNet, imagenet256_config
+    from diffpure_tpu.purify import PurifyConfig, purify
 
+    key = jax.random.PRNGKey(0)
+    model = ADMUNet(**imagenet256_config(use_bf16=True))
+    params = jax.eval_shape(lambda: model.init(
+        key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32)))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params)
+    n_params = _param_count(params)
+    assert n_params == ADM_EXPECTED_PARAMS, (
+        f"benched ADM UNet has {n_params} params != imagenet256_config")
+
+    cfg = PurifyConfig(diffusion_type="ddpm", t=ADM_T_STAR,
+                       score_type="guided_diffusion", grad_mode="none")
+    x = jax.random.uniform(key, (ADM_BATCH, 256, 256, 3)) * 2 - 1
+
+    @jax.jit
+    def run(params, xx, k):
+        return jnp.float32(purify(
+            lambda p, a, t: model.apply(p, a, t), params, xx, k, cfg).sum())
+
+    dt, compile_s = _timed(run, params, x, key)
+    return dt, compile_s
+
+
+def main():
     n_chips = jax.device_count()
+    peak = _peak_tflops()
+
+    # --- headline: CIFAR Euler-100 --------------------------------------
+    dt, compile_s, nfe = bench_cifar(tag="euler")
     imgs_per_sec_chip = BATCH / dt / n_chips
+    tflops = CIFAR_GFLOP_PER_IMG_EVAL * BATCH * nfe / dt / 1e3 / n_chips
     out = {
         "metric": "purified_images_per_sec_per_chip",
         "value": round(imgs_per_sec_chip, 3),
@@ -91,14 +153,41 @@ def main():
                 f"batch {BATCH})",
         "vs_baseline": round(imgs_per_sec_chip / REFERENCE_IMGS_PER_SEC_V100,
                              3),
-        "ms_per_unet_eval": round(dt / T_STAR * 1e3, 2),
+        "ms_per_unet_eval": round(dt / nfe * 1e3, 2),
         "compile_s": round(compile_s, 1),
+        "model_tflops_per_s": round(tflops, 1),
+        "mfu": round(tflops / peak, 3),
+        "gflop_per_img_per_eval": CIFAR_GFLOP_PER_IMG_EVAL,
     }
-    if flops_per_eval:
-        tflops = flops_per_eval * T_STAR / dt / 1e12 / n_chips
-        out["model_tflops_per_s"] = round(tflops, 1)
-        out["mfu"] = round(tflops / _peak_tflops(), 3)
-        out["gflop_per_img_per_eval"] = round(flops_per_eval / BATCH / 1e9, 2)
+
+    workloads = {}
+
+    # --- CIFAR DPM-Solver++(2M) @ 20 NFE (accelerated purification) -----
+    try:
+        dt, compile_s, nfe = bench_cifar(n_steps=DPM_STEPS, tag="dpm")
+        workloads["cifar_dpmpp_20nfe"] = {
+            "img_per_sec_per_chip": round(BATCH / dt / n_chips, 1),
+            "vs_baseline": round(BATCH / dt / n_chips
+                                 / REFERENCE_IMGS_PER_SEC_V100, 2),
+            "ms_per_unet_eval": round(dt / nfe * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+        }
+    except Exception as e:  # secondary workloads must not kill the headline
+        workloads["cifar_dpmpp_20nfe"] = {"error": repr(e)[:200]}
+
+    # --- ImageNet-256 ADM t*=150 (the north-star's second axis) ---------
+    try:
+        dt, compile_s = bench_adm256()
+        workloads["imagenet256_adm_t150"] = {
+            "img_per_sec_per_chip": round(ADM_BATCH / dt / n_chips, 3),
+            "ms_per_unet_eval": round(dt / ADM_T_STAR * 1e3, 1),
+            "batch": ADM_BATCH,
+            "compile_s": round(compile_s, 1),
+        }
+    except Exception as e:
+        workloads["imagenet256_adm_t150"] = {"error": repr(e)[:200]}
+
+    out["workloads"] = workloads
     print(json.dumps(out))
 
 

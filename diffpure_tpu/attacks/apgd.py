@@ -22,7 +22,7 @@ carried vectorized.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,7 +126,9 @@ def _loss_and_grad(model_fn: ModelFn, loss_fn, x: Array, key: Array,
         grad = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
         return losses[-1], grad, logits[-1]
 
-    shapes = jax.eval_shape(single, keys[0])
+    from diffpure_tpu.utils.profiling import nfe_mute
+    with nfe_mute():  # shape-only trace must not feed the NFE tally
+        shapes = jax.eval_shape(single, keys[0])
     init = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
                                   shapes)
 
@@ -155,15 +157,24 @@ def _init_perturbation(key: Array, x: Array, cfg: APGDConfig) -> Array:
 
 
 def _apgd_init(model_fn: ModelFn, loss_fn, x: Array, y: Array,
-               key: Array, cfg: APGDConfig):
+               key: Array, cfg: APGDConfig,
+               nfe_phases: Optional[dict] = None):
     """Initial perturbation + first gradient -> the scan carry."""
+    from diffpure_tpu.utils.profiling import nfe_tally
+
     B = x.shape[0]
     k_init, k_loop = jax.random.split(key)
     x_adv = _init_perturbation(k_init, x, cfg)
-    losses, grad, logits = _loss_and_grad(model_fn, loss_fn, x_adv,
-                                          jax.random.fold_in(k_loop, 2**31 - 1),
-                                          cfg.eot_iter, cfg.eot_parallel,
-                                          cfg.eot_loss)
+    with nfe_tally() as tly:
+        losses, grad, logits = _loss_and_grad(
+            model_fn, loss_fn, x_adv, jax.random.fold_in(k_loop, 2**31 - 1),
+            cfg.eot_iter, cfg.eot_parallel, cfg.eot_loss)
+    # the EOT scan/vmap traces the model once but executes it eot_iter
+    # times — the tally (filled once per trace) is scaled accordingly
+    nfe = tly.total * cfg.eot_iter
+    if nfe_phases is not None:
+        for k, v in tly.phases.items():
+            nfe_phases[k] = nfe_phases.get(k, 0) + v
     pred_ok = jnp.argmax(logits, -1) == y
 
     # AA uses 2*eps initial step for both norms (L2 grad is normalized).
@@ -183,6 +194,9 @@ def _apgd_init(model_fn: ModelFn, loss_fn, x: Array, y: Array,
         loss_best_last_check=losses,
         reduced_last_check=jnp.ones((B,), bool),
         key=k_loop,
+        # runtime NFE counter as a program output (works on callback-less
+        # backends; the reference's counter buffer, ref eval_sde_adv.py:57-91)
+        nfe=jnp.asarray(nfe, jnp.int32),
     )
     return carry
 
@@ -190,6 +204,8 @@ def _apgd_init(model_fn: ModelFn, loss_fn, x: Array, y: Array,
 def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
                     cfg: APGDConfig, collect_trajectory: bool = False):
     """The per-iteration scan body (closes over the clean center x)."""
+    from diffpure_tpu.utils.profiling import nfe_tally
+
     B = x.shape[0]
 
     def body(carry, it):
@@ -212,10 +228,12 @@ def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
             x1 = _project(x, z2, cfg.eps, cfg.norm)
 
         key = jax.random.fold_in(carry["key"], i)
-        losses, new_grad, logits = _loss_and_grad(model_fn, loss_fn, x1,
-                                                  key, cfg.eot_iter,
-                                                  cfg.eot_parallel,
-                                                  cfg.eot_loss)
+        with nfe_tally() as tly:
+            losses, new_grad, logits = _loss_and_grad(model_fn, loss_fn, x1,
+                                                      key, cfg.eot_iter,
+                                                      cfg.eot_parallel,
+                                                      cfg.eot_loss)
+        nfe = carry["nfe"] + tly.total * cfg.eot_iter
         pred_wrong = jnp.argmax(logits, -1) != y
         found = carry["found"] | pred_wrong
         x_best_adv = jnp.where(pred_wrong[:, None, None, None], x1,
@@ -251,7 +269,8 @@ def _apgd_make_body(model_fn: ModelFn, loss_fn, x: Array, y: Array,
         new_carry = dict(carry, x_adv=x1, x_adv_old=x_adv, grad=new_grad,
                          x_best=x_best, loss_best=loss_best,
                          grad_best=grad_best, x_best_adv=x_best_adv,
-                         found=found, n_improve=n_improve, loss_prev=losses)
+                         found=found, n_improve=n_improve, loss_prev=losses,
+                         nfe=nfe)
         new_carry = jax.lax.cond(ck, at_checkpoint, lambda c: c, new_carry)
         ys = (dict(losses=losses, loss_best=loss_best,
                    step_size=new_carry["step_size"][:, 0, 0, 0])
@@ -279,13 +298,19 @@ def _apgd_finalize(carry):
 
 def _apgd_single_run(model_fn: ModelFn, loss_fn, x: Array, y: Array,
                      key: Array, cfg: APGDConfig,
-                     collect_trajectory: bool = False):
-    carry = _apgd_init(model_fn, loss_fn, x, y, key, cfg)
+                     collect_trajectory: bool = False,
+                     return_nfe: bool = False,
+                     nfe_phases: Optional[dict] = None):
+    carry = _apgd_init(model_fn, loss_fn, x, y, key, cfg,
+                       nfe_phases=nfe_phases)
     body = _apgd_make_body(model_fn, loss_fn, x, y, cfg, collect_trajectory)
     carry, traj = jax.lax.scan(body, carry, _apgd_iters(cfg))
+    out = _apgd_finalize(carry)
     if collect_trajectory:
-        return _apgd_finalize(carry) + (traj,)
-    return _apgd_finalize(carry)
+        out = out + (traj,)
+    if return_nfe:
+        out = out + (carry["nfe"],)
+    return out
 
 
 def apgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
@@ -321,16 +346,27 @@ def apgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
             return lambda logits: dlr_loss(logits, yy)
         return lambda logits: dlr_loss_targeted(logits, yy, yt)
 
+    from diffpure_tpu.utils.profiling import absorb_nfe
+
+    nfe_phases: dict = {}
+
     if cfg.iters_per_dispatch <= 0:
         def raw_run(xx, yy, yt, kk):
             return _apgd_single_run(model_fn, make_loss(yy, yt), xx, yy, kk,
-                                    cfg)
-        run_fn = jit_lifted(raw_run, x, y, y, key)
+                                    cfg, return_nfe=True,
+                                    nfe_phases=nfe_phases)
+        run_jit = jit_lifted(raw_run, x, y, y, key)
+
+        def run_fn(xx, yy, yt, kk):
+            x_out, found, loss_best, nfe = run_jit(xx, yy, yt, kk)
+            absorb_nfe(nfe_phases, nfe)
+            return x_out, found, loss_best
     else:
         # chunked dispatch: the scan runs iters_per_dispatch iterations per
         # device execution; the carry stays on device between dispatches.
         def raw_init(xx, yy, yt, kk):
-            return _apgd_init(model_fn, make_loss(yy, yt), xx, yy, kk, cfg)
+            return _apgd_init(model_fn, make_loss(yy, yt), xx, yy, kk, cfg,
+                              nfe_phases=nfe_phases)
 
         def raw_chunk(carry, its, xx, yy, yt):
             body = _apgd_make_body(model_fn, make_loss(yy, yt), xx, yy, cfg)
@@ -351,6 +387,9 @@ def apgd_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
                     chunk_fns[n] = jit_lifted(raw_chunk, carry, its,
                                               xx, yy, yt)
                 carry = chunk_fns[n](carry, its, xx, yy, yt)
+            # the carry's nfe element is the runtime count for the whole run
+            # (program-output counting — works on callback-less backends)
+            absorb_nfe(nfe_phases, carry["nfe"])
             return _apgd_finalize(carry)
 
     for run in range(runs):

@@ -46,6 +46,8 @@ class BPDAEOTConfig:
 def _rep_predict(purify_fn: PurifyFn, classify_fn: ClassifyFn, x: Array,
                  key: Array, reps: int, chunk: int) -> Array:
     """Mean softmax over `reps` purifier samples (ref :41-53)."""
+    from diffpure_tpu.utils.profiling import absorb_nfe, nfe_tally
+
     B = x.shape[0]
     acc = None
     done = 0
@@ -54,7 +56,9 @@ def _rep_predict(purify_fn: PurifyFn, classify_fn: ClassifyFn, x: Array,
         n = min(chunk, reps - done)
         x_rep = jnp.tile(x, (n, 1, 1, 1))
         k = jax.random.fold_in(key, r)
-        purified = purify_fn(x_rep, k)
+        with nfe_tally() as tly:
+            purified = purify_fn(x_rep, k)
+        absorb_nfe(tly.phases, tly.total)  # host-level call: 1 execution
         logits = classify_fn(purified)
         p = jax.nn.softmax(logits, axis=-1).reshape(n, B, -1).sum(axis=0)
         acc = p if acc is None else acc + p
@@ -69,11 +73,21 @@ def defense_predict(purify_fn, classify_fn, x, key, cfg: BPDAEOTConfig):
     return jnp.argmax(probs, axis=-1)
 
 
-def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig):
-    """(correct_mask, BPDA gradient) via eot_attack_reps (ref :98-110)."""
+def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig,
+                 nfe_phases: dict = None):
+    """(correct_mask, BPDA gradient, nfe) via eot_attack_reps (ref :98-110).
+
+    nfe is the purifier's function-evaluation count as a program output
+    (runtime NFE accounting on callback-less backends)."""
+    from diffpure_tpu.utils.profiling import nfe_tally
+
     n = cfg.eot_attack_reps
     x_rep = jnp.tile(x, (n, 1, 1, 1))
-    purified = purify_fn(x_rep, key)
+    with nfe_tally() as tly:
+        purified = purify_fn(x_rep, key)
+    if nfe_phases is not None:
+        for k_, v in tly.phases.items():
+            nfe_phases[k_] = nfe_phases.get(k_, 0) + v
     purified = jax.lax.stop_gradient(purified)  # BPDA cut (ref :100)
 
     def loss(p):
@@ -96,7 +110,7 @@ def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig):
     grad = g.reshape((n, B) + x.shape[1:]).mean(axis=0)  # identity-jacobian
     probs = jax.nn.softmax(logits, -1).reshape(n, B, -1).mean(axis=0)
     correct = jnp.argmax(probs, -1) == y
-    return correct, grad
+    return correct, grad, tly.total
 
 
 def _pgd_update(x_adv, grad, x0, cfg: BPDAEOTConfig):
@@ -134,13 +148,16 @@ def bpda_eot_attack(purify_fn: PurifyFn, classify_fn: ClassifyFn,
     # jit would bake them into the module as dense constants (HTTP 413 on
     # tunneled remote-compile backends); lifting makes them call arguments.
     from diffpure_tpu.utils.jitlift import jit_lifted
+    from diffpure_tpu.utils.profiling import absorb_nfe
+    nfe_phases: dict = {}
     attack_step = jit_lifted(lambda xa, k: _attack_grad(
-        purify_fn, classify_fn, xa, y, k, cfg), x, key)
+        purify_fn, classify_fn, xa, y, k, cfg, nfe_phases), x, key)
 
     x_adv = x
     for step in range(cfg.adv_steps + 1):
         k_step = jax.random.fold_in(key, step)
-        correct, grad = attack_step(x_adv, k_step)
+        correct, grad, nfe = attack_step(x_adv, k_step)
+        absorb_nfe(nfe_phases, nfe)
         correct = np.asarray(correct)
 
         if step == 0:

@@ -44,7 +44,9 @@ def eot_average(fn: Callable[[Array], object], key: Array, n: int,
 
     # zero-init from eval_shape: materializing fn(keys[0]) outside the scan
     # would inline a second full copy of the defended-forward graph.
-    shapes = jax.eval_shape(fn, keys[0])
+    from diffpure_tpu.utils.profiling import nfe_mute
+    with nfe_mute():  # shape-only trace must not feed the NFE tally
+        shapes = jax.eval_shape(fn, keys[0])
     init = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
                                   shapes)
     acc, _ = jax.lax.scan(body, init, keys)

@@ -183,8 +183,13 @@ def _square_l2(model_fn, x, y, key, cfg: SquareConfig, draws=None):
     s0 = H // 5 if H // 5 >= 1 else 1
     k0, key = jax.random.split(key)
     eta0 = _eta_pattern(s0).astype(np.float32)
-    cells = [(ih, iw) for ih in range(0, H - s0 + 1, s0)
-             for iw in range(0, W - s0 + 1, s0)]
+    # upstream anchors the eta grid at sp_init = (H - s0*(H//s0)) // 2 and
+    # lays H//s0 x W//s0 cells (autoattack square.py l2 init) — centered,
+    # not flush with row/col 0
+    sp_h = (H - s0 * (H // s0)) // 2
+    sp_w = (W - s0 * (W // s0)) // 2
+    cells = [(sp_h + ih * s0, sp_w + iw * s0)
+             for ih in range(H // s0) for iw in range(W // s0)]
     if draws is not None:
         cell_signs = draws["signs0"]          # (ncells, B, 1, 1, C)
         cell_tr = draws["transpose0"]         # (ncells, B) in {0,1}

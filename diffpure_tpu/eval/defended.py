@@ -64,8 +64,11 @@ class DefendedModel:
                         self.purify_cfg)
         if self.debug_dir is not None and _callbacks_ok():
             # runtime-gated host callback: fires on actual executions (also
-            # inside jitted attack loops), dumps only the first 2 on host
-            jax.debug.callback(self._host_dump, x, x_pure)
+            # inside jitted attack loops), dumps only the first 2 on host.
+            # Only a small slice crosses to the host — the callback itself
+            # cannot be disabled after the dump limit without a recompile,
+            # so bound the recurring device->host transfer instead.
+            jax.debug.callback(self._host_dump, x[:8], x_pure[:8])
         return (x_pure + 1.0) * 0.5
 
     def classify(self, x01: Array) -> Array:

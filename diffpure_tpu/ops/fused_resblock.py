@@ -96,6 +96,42 @@ def _upsample2x_inkernel(x):
     return xh.reshape(B, 2 * H, 2 * W, C)
 
 
+def _gn_silu_bwd_inkernel(d_a, xin, scale, bias, C, G, n, eps):
+    """Backward of silu(affine(GN(xin))) w.r.t. xin on fp32 VMEM tensors.
+
+    Recomputes stats/x-hat/y from xin (recompute-in-backward keeps the
+    residual set at just the kernel inputs). Standard GN backward:
+      dx = rstd * (dxh - mean_g(dxh) - xh * mean_g(dxh*xh)).
+    Returns (d_xin, dy) — dy is handed back for parameter-grad reductions
+    by callers that need them (the fused backward does not).
+    """
+    M = _group_onehot_inkernel(C, G)
+    MT = M.T
+    sums = jnp.sum(xin, axis=(1, 2))
+    sqs = jnp.sum(xin * xin, axis=(1, 2))
+    g_sum = jnp.dot(sums, M, preferred_element_type=jnp.float32)
+    g_sq = jnp.dot(sqs, M, preferred_element_type=jnp.float32)
+    mean_g = g_sum / n
+    var_g = g_sq / n - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, MT, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_g, MT, preferred_element_type=jnp.float32)
+    xhat = (xin - mean_c[:, None, None, :]) * rstd_c[:, None, None, :]
+    y = xhat * scale[None, None, None, :] + bias[None, None, None, :]
+    sig = jax.nn.sigmoid(y)
+    dy = d_a * (sig * (1.0 + y * (1.0 - sig)))          # silu'(y)
+    dxhat = dy * scale[None, None, None, :]
+    s1 = jnp.sum(dxhat, axis=(1, 2))                    # (bt, C)
+    s2 = jnp.sum(dxhat * xhat, axis=(1, 2))
+    m1_c = jnp.dot(jnp.dot(s1, M, preferred_element_type=jnp.float32) / n,
+                   MT, preferred_element_type=jnp.float32)
+    m2_c = jnp.dot(jnp.dot(s2, M, preferred_element_type=jnp.float32) / n,
+                   MT, preferred_element_type=jnp.float32)
+    d_xin = rstd_c[:, None, None, :] * (
+        dxhat - m1_c[:, None, None, :] - xhat * m2_c[:, None, None, :])
+    return d_xin, dy
+
+
 def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
                            b0_ref, gn2s_ref, gn2b_ref, w1_ref, b1_ref,
                            wskip_ref, bskip_ref, o_ref, pad0_ref, pad1_ref,
@@ -237,6 +273,191 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
       w1_9, b1.astype(f32).reshape(1, cout),
       wskip, bskip.astype(f32).reshape(1, cout))
     return out
+
+
+def _fused_resblock_bwd_kernel(x_ref, temb_ref, g_ref, gn1s_ref, gn1b_ref,
+                               w0_ref, b0_ref, gn2s_ref, gn2b_ref,
+                               w0t_ref, w1t_ref, wskipt_ref,
+                               dx_ref, dtemb_ref, pad0_ref, pad1_ref,
+                               *, eps: float, has_skip_proj: bool,
+                               rescale: bool, H: int, W: int, cin: int,
+                               cout: int, bt: int, g1: int, g2: int,
+                               resample: str, compute_dtype):
+    """Input-gradient backward of the fused BigGAN block, one kernel.
+
+    Recomputes the forward up to the second GroupNorm's input (GN1+SiLU,
+    resample, conv0, +b0+temb) in VMEM, then runs the exact chain rule:
+    transposed conv1, GN2+SiLU backward, transposed conv0, resample
+    transpose, GN1+SiLU backward, plus the (projected) skip adjoint.
+    Writes dx and the temb-row cotangent; parameter cotangents are NOT
+    computed here (the custom_vjp supplies them from a separate XLA
+    subgraph that dead-code-eliminates when — as in every attack — nobody
+    differentiates w.r.t. the weights). w0t/w1t are the spatially-flipped,
+    channel-transposed conv kernels prepared by the wrapper.
+    """
+    x32 = x_ref[...].astype(jnp.float32)
+    pad0_ref[...] = jnp.zeros_like(pad0_ref)
+    pad1_ref[...] = jnp.zeros_like(pad1_ref)
+
+    # ---- forward recompute to c1 (the GN2 input) ------------------------
+    n1 = float(H * W * cin // g1)
+    a1 = _gn_silu_inkernel(x32, gn1s_ref[0], gn1b_ref[0], cin, g1, n1, eps)
+    if resample == "down":
+        h = _downsample2x_inkernel(a1)
+        Ho, Wo = H // 2, W // 2
+    elif resample == "up":
+        h = _upsample2x_inkernel(a1)
+        Ho, Wo = H * 2, W * 2
+    else:
+        h = a1
+        Ho, Wo = H, W
+    c1 = _conv3x3_inkernel(pad0_ref, h, w0_ref, bt, Ho, Wo, cin, cout,
+                           compute_dtype)
+    c1 = c1 + b0_ref[0][None, None, None, :]
+    c1 = c1 + temb_ref[...].astype(jnp.float32)[:, :, None, :]
+
+    # ---- backward -------------------------------------------------------
+    g32 = g_ref[...].astype(jnp.float32)
+    if rescale:
+        g32 = g32 * INV_SQRT2
+
+    # through conv1: transposed conv = conv with flipped/transposed kernel
+    d_a2 = _conv3x3_inkernel(pad1_ref, g32, w1t_ref, bt, Ho, Wo, cout, cout,
+                             compute_dtype)
+    # through SiLU(GN2(c1))
+    n2 = float(Ho * Wo * cout // g2)
+    d_c1, _ = _gn_silu_bwd_inkernel(d_a2, c1, gn2s_ref[0], gn2b_ref[0],
+                                    cout, g2, n2, eps)
+    # temb enters c1 additively, broadcast over (H, W)
+    dtemb_ref[...] = jnp.sum(d_c1, axis=(1, 2))[:, None, :].astype(
+        dtemb_ref.dtype)
+
+    # through conv0 (reuse pad1: interior overwritten, halo stays zero)
+    d_h = _conv3x3_inkernel(pad1_ref, d_c1, w0t_ref, bt, Ho, Wo, cout, cin,
+                            compute_dtype)
+    # resample transpose on the main path
+    if resample == "down":        # avg-pool^T = 1/4-spread upsample
+        d_a1 = _upsample2x_inkernel(d_h) * 0.25
+    elif resample == "up":        # nearest-up^T = 2x2 sum pool
+        d_a1 = _downsample2x_inkernel(d_h) * 4.0
+    else:
+        d_a1 = d_h
+    dx_main, _ = _gn_silu_bwd_inkernel(d_a1, x32, gn1s_ref[0], gn1b_ref[0],
+                                       cin, g1, n1, eps)
+
+    # skip adjoint: out += (resample(x) @ wskip + b) * s
+    if has_skip_proj:
+        d_xsb = jnp.dot(
+            g32.astype(compute_dtype).reshape(bt * Ho * Wo, cout),
+            wskipt_ref[...].astype(compute_dtype),
+            preferred_element_type=jnp.float32).reshape(bt, Ho, Wo, cin)
+    else:
+        d_xsb = g32
+    if resample == "down":
+        dx_skip = _upsample2x_inkernel(d_xsb) * 0.25
+    elif resample == "up":
+        dx_skip = _downsample2x_inkernel(d_xsb) * 4.0
+    else:
+        dx_skip = d_xsb
+
+    dx_ref[...] = (dx_main + dx_skip).astype(dx_ref.dtype)
+
+
+def _pick_batch_tile_bwd(N: int, H: int, W: int, cin: int, cout: int,
+                         vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Backward working set: two pad scratches + ~4 fp32 feature maps of
+    each width live at peak (x32/a1/dx on cin, c1/g32/d_a2/d_c1 on cout)."""
+    per_ex = ((H + 2) * (W + 2) * (cin + cout) * 2
+              + 4 * H * W * cin * 4 + 4 * H * W * cout * 4)
+    for bt in (8, 4, 2, 1):
+        if N % bt == 0 and bt * per_ex <= vmem_budget:
+            return bt
+    return 1
+
+
+def _flip_transpose_w9(w9: Array) -> Array:
+    """(9, ci, co) conv-kernel stack -> its transposed-conv stack
+    (9, co, ci): spatial 180-degree flip + channel transpose."""
+    return jnp.stack([w9[8 - k].T for k in range(9)])
+
+
+def fused_resblock_bwd_pallas(x: Array, temb_row: Array, params: Tuple,
+                              g: Array, *, num_groups1: int,
+                              num_groups2: int, eps: float = 1e-6,
+                              rescale: bool = True, resample: str = "none",
+                              interpret: bool = False):
+    """(dx, dtemb_row) for the fused resblock, as one Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (gn1s, gn1b, w0, b0, gn2s, gn2b, w1, b1, wskip, bskip) = params
+    N, H, W, cin = x.shape
+    cout = w0.shape[-1]
+    has_skip_proj = wskip is not None
+    compute_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+
+    if resample == "down":
+        Ho, Wo = H // 2, W // 2
+    elif resample == "up":
+        Ho, Wo = H * 2, W * 2
+    else:
+        Ho, Wo = H, W
+    bt = _pick_batch_tile_bwd(N, max(H, Ho), max(W, Wo), cin, cout)
+
+    w0_9 = w0.reshape(9, cin, cout)
+    w0t_9 = _flip_transpose_w9(w0_9)
+    w1t_9 = _flip_transpose_w9(w1.reshape(9, cout, cout))
+    wskipt = (wskip.T if has_skip_proj
+              else jnp.zeros((cout, 1), x.dtype))
+
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _fused_resblock_bwd_kernel, eps=eps, has_skip_proj=has_skip_proj,
+        rescale=rescale, H=H, W=W, cin=cin, cout=cout, bt=bt,
+        g1=num_groups1, g2=num_groups2, resample=resample,
+        compute_dtype=compute_dtype)
+
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731 — replicated operand
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    dx, dtemb = pl.pallas_call(
+        kernel,
+        grid=(N // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, H, W, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Ho, Wo, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, cin), full(1, cin),
+            full(9, cin, cout), full(1, cout),
+            full(1, cout), full(1, cout),
+            full(9, cout, cin), full(9, cout, cout),
+            full(*wskipt.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, H, W, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W, cin), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bt, Ho + 2, Wo + 2, cin), compute_dtype),
+            pltpu.VMEM((bt, Ho + 2, Wo + 2, cout), compute_dtype),
+        ],
+        interpret=interpret,
+    )(x, temb_row.astype(x.dtype)[:, None, :], g,
+      gn1s.astype(f32).reshape(1, cin), gn1b.astype(f32).reshape(1, cin),
+      w0_9, b0.astype(f32).reshape(1, cout),
+      gn2s.astype(f32).reshape(1, cout), gn2b.astype(f32).reshape(1, cout),
+      w0t_9, w1t_9, wskipt)
+    return dx, dtemb[:, 0, :]
 
 
 def fused_resblock_reference(x: Array, temb_row: Array, params: Tuple,
@@ -441,6 +662,219 @@ def fused_resblock_cat_pallas(x1: Array, x2: Array, temb_row: Array,
     return out
 
 
+def _fused_resblock_cat_bwd_kernel(x1_ref, x2_ref, temb_ref, g_ref,
+                                   gn1sa_ref, gn1ba_ref, gn1sb_ref,
+                                   gn1bb_ref, w0_ref, b0_ref, gn2s_ref,
+                                   gn2b_ref, w0at_ref, w0bt_ref, w1t_ref,
+                                   wskipat_ref, wskipbt_ref,
+                                   dx1_ref, dx2_ref, dtemb_ref,
+                                   pad0_ref, pad1_ref, *, eps: float,
+                                   rescale: bool, H: int, W: int, c1: int,
+                                   c2: int, cout: int, bt: int, g1: int,
+                                   g2: int, compute_dtype):
+    """Input-gradient backward of the concat-input block (seam kept in
+    VMEM): same structure as _fused_resblock_bwd_kernel with GroupNorm-1
+    statistics global across the seam and all per-part values routed
+    through per-part one-hot / weight matmuls (lane-dim slices of
+    broadcast vectors are unsupported in Mosaic)."""
+    cin = c1 + c2
+    x1 = x1_ref[...].astype(jnp.float32)
+    x2 = x2_ref[...].astype(jnp.float32)
+    pad0_ref[...] = jnp.zeros_like(pad0_ref)
+    pad1_ref[...] = jnp.zeros_like(pad1_ref)
+
+    # ---- forward recompute to c1 ---------------------------------------
+    M = _group_onehot_inkernel(cin, g1)
+    Ma, Mb = M[:c1], M[c1:]
+    n1 = float(H * W * cin // g1)
+    sums = jnp.dot(jnp.sum(x1, axis=(1, 2)), Ma,
+                   preferred_element_type=jnp.float32) \
+        + jnp.dot(jnp.sum(x2, axis=(1, 2)), Mb,
+                  preferred_element_type=jnp.float32)
+    sqs = jnp.dot(jnp.sum(x1 * x1, axis=(1, 2)), Ma,
+                  preferred_element_type=jnp.float32) \
+        + jnp.dot(jnp.sum(x2 * x2, axis=(1, 2)), Mb,
+                  preferred_element_type=jnp.float32)
+    mean_g = sums / n1
+    var_g = sqs / n1 - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+
+    def part_fields(Mp):
+        mean_p = jnp.dot(mean_g, Mp.T, preferred_element_type=jnp.float32)
+        rstd_p = jnp.dot(rstd_g, Mp.T, preferred_element_type=jnp.float32)
+        return mean_p, rstd_p
+
+    mean_a, rstd_a = part_fields(Ma)
+    mean_b, rstd_b = part_fields(Mb)
+
+    def norm_silu(xp, mean_p, rstd_p, scale_p, bias_p):
+        xh = (xp - mean_p[:, None, None, :]) * rstd_p[:, None, None, :]
+        y = xh * scale_p[None, None, None, :] + bias_p[None, None, None, :]
+        return xh, y, y * jax.nn.sigmoid(y)
+
+    xh_a, y_a, a_a = norm_silu(x1, mean_a, rstd_a, gn1sa_ref[0],
+                               gn1ba_ref[0])
+    xh_b, y_b, a_b = norm_silu(x2, mean_b, rstd_b, gn1sb_ref[0],
+                               gn1bb_ref[0])
+    pad0_ref[:, 1:H + 1, 1:W + 1, :c1] = a_a.astype(compute_dtype)
+    pad0_ref[:, 1:H + 1, 1:W + 1, c1:] = a_b.astype(compute_dtype)
+
+    acc = jnp.zeros((bt, H, W, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = pad0_ref[:, dy:dy + H, dx:dx + W, :]
+            win2 = win.reshape(bt * H * W, cin)
+            wk = w0_ref[3 * dy + dx].astype(compute_dtype)
+            acc = acc + jnp.dot(win2, wk,
+                                preferred_element_type=jnp.float32
+                                ).reshape(bt, H, W, cout)
+    c1_acc = acc + b0_ref[0][None, None, None, :] \
+        + temb_ref[...].astype(jnp.float32)[:, :, None, :]
+
+    # ---- backward -------------------------------------------------------
+    g32 = g_ref[...].astype(jnp.float32)
+    if rescale:
+        g32 = g32 * INV_SQRT2
+
+    d_a2 = _conv3x3_inkernel(pad1_ref, g32, w1t_ref, bt, H, W, cout, cout,
+                             compute_dtype)
+    n2 = float(H * W * cout // g2)
+    d_c1, _ = _gn_silu_bwd_inkernel(d_a2, c1_acc, gn2s_ref[0], gn2b_ref[0],
+                                    cout, g2, n2, eps)
+    dtemb_ref[...] = jnp.sum(d_c1, axis=(1, 2))[:, None, :].astype(
+        dtemb_ref.dtype)
+
+    # conv0 transpose, per seam part (separate transposed weight stacks)
+    d_a_a = _conv3x3_inkernel(pad1_ref, d_c1, w0at_ref, bt, H, W, cout, c1,
+                              compute_dtype)
+    # reuse pad1 once more for the second part: interior rewritten by
+    # _conv3x3_inkernel, halo stays zero
+    d_a_b = _conv3x3_inkernel(pad1_ref, d_c1, w0bt_ref, bt, H, W, cout, c2,
+                              compute_dtype)
+
+    # GN1+SiLU backward with global group stats across the seam
+    def dy_dxhat(d_ap, yp, scale_p):
+        sig = jax.nn.sigmoid(yp)
+        dyp = d_ap * (sig * (1.0 + yp * (1.0 - sig)))
+        return dyp * scale_p[None, None, None, :]
+
+    dxh_a = dy_dxhat(d_a_a, y_a, gn1sa_ref[0])
+    dxh_b = dy_dxhat(d_a_b, y_b, gn1sb_ref[0])
+    s1_g = jnp.dot(jnp.sum(dxh_a, axis=(1, 2)), Ma,
+                   preferred_element_type=jnp.float32) \
+        + jnp.dot(jnp.sum(dxh_b, axis=(1, 2)), Mb,
+                  preferred_element_type=jnp.float32)
+    s2_g = jnp.dot(jnp.sum(dxh_a * xh_a, axis=(1, 2)), Ma,
+                   preferred_element_type=jnp.float32) \
+        + jnp.dot(jnp.sum(dxh_b * xh_b, axis=(1, 2)), Mb,
+                  preferred_element_type=jnp.float32)
+    m1_g = s1_g / n1
+    m2_g = s2_g / n1
+
+    def dx_part(dxh_p, xh_p, rstd_p, Mp):
+        m1_p = jnp.dot(m1_g, Mp.T, preferred_element_type=jnp.float32)
+        m2_p = jnp.dot(m2_g, Mp.T, preferred_element_type=jnp.float32)
+        return rstd_p[:, None, None, :] * (
+            dxh_p - m1_p[:, None, None, :] - xh_p * m2_p[:, None, None, :])
+
+    dx1 = dx_part(dxh_a, xh_a, rstd_a, Ma)
+    dx2 = dx_part(dxh_b, xh_b, rstd_b, Mb)
+
+    # skip adjoint (concat blocks always project)
+    g2d = g32.astype(compute_dtype).reshape(bt * H * W, cout)
+    dx1 = dx1 + jnp.dot(g2d, wskipat_ref[...].astype(compute_dtype),
+                        preferred_element_type=jnp.float32
+                        ).reshape(bt, H, W, c1)
+    dx2 = dx2 + jnp.dot(g2d, wskipbt_ref[...].astype(compute_dtype),
+                        preferred_element_type=jnp.float32
+                        ).reshape(bt, H, W, c2)
+
+    dx1_ref[...] = dx1.astype(dx1_ref.dtype)
+    dx2_ref[...] = dx2.astype(dx2_ref.dtype)
+
+
+def fused_resblock_cat_bwd_pallas(x1: Array, x2: Array, temb_row: Array,
+                                  params: Tuple, g: Array, *,
+                                  num_groups1: int, num_groups2: int,
+                                  eps: float = 1e-6, rescale: bool = True,
+                                  interpret: bool = False):
+    """(dx1, dx2, dtemb_row) for the concat-input fused resblock."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (gn1s, gn1b, w0, b0, gn2s, gn2b, w1, b1, wskip, bskip) = params
+    N, H, W, c1 = x1.shape
+    c2 = x2.shape[-1]
+    cin = c1 + c2
+    cout = w0.shape[-1]
+    assert wskip is not None
+    compute_dtype = x1.dtype if x1.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    bt = _pick_batch_tile_bwd(N, H, W, cin, cout)
+
+    w0_9 = w0.reshape(9, cin, cout)
+    w0t_9 = _flip_transpose_w9(w0_9)          # (9, cout, cin)
+    w0at_9 = w0t_9[:, :, :c1]
+    w0bt_9 = w0t_9[:, :, c1:]
+    w1t_9 = _flip_transpose_w9(w1.reshape(9, cout, cout))
+    f32 = jnp.float32
+
+    kernel = functools.partial(
+        _fused_resblock_cat_bwd_kernel, eps=eps, rescale=rescale, H=H, W=W,
+        c1=c1, c2=c2, cout=cout, bt=bt, g1=num_groups1, g2=num_groups2,
+        compute_dtype=compute_dtype)
+
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731 — replicated operand
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    dx1, dx2, dtemb = pl.pallas_call(
+        kernel,
+        grid=(N // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, H, W, c1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H, W, c2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H, W, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, c1), full(1, c1), full(1, c2), full(1, c2),
+            full(9, cin, cout), full(1, cout),
+            full(1, cout), full(1, cout),
+            full(9, cout, c1), full(9, cout, c2), full(9, cout, cout),
+            full(cout, c1), full(cout, c2),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, H, W, c1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H, W, c2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W, c1), jnp.float32),
+            jax.ShapeDtypeStruct((N, H, W, c2), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bt, H + 2, W + 2, cin), compute_dtype),
+            pltpu.VMEM((bt, H + 2, W + 2, cout), compute_dtype),
+        ],
+        interpret=interpret,
+    )(x1, x2, temb_row.astype(x1.dtype)[:, None, :], g,
+      gn1s[:c1].astype(f32).reshape(1, c1),
+      gn1b[:c1].astype(f32).reshape(1, c1),
+      gn1s[c1:].astype(f32).reshape(1, c2),
+      gn1b[c1:].astype(f32).reshape(1, c2),
+      w0_9, b0.astype(f32).reshape(1, cout),
+      gn2s.astype(f32).reshape(1, cout), gn2b.astype(f32).reshape(1, cout),
+      w0at_9, w0bt_9, w1t_9,
+      wskip[:c1].T, wskip[c1:].T)
+    return dx1, dx2, dtemb[:, 0, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def fused_resblock_cat(x1: Array, x2: Array, temb_row: Array, params: Tuple,
                        num_groups1: int, num_groups2: int,
@@ -462,16 +896,25 @@ def _frbc_fwd(x1, x2, temb_row, params, num_groups1, num_groups2, eps,
 
 
 def _frbc_bwd(num_groups1, num_groups2, eps, rescale, interpret, res, g):
+    """Backward: dx1/dx2/dtemb from the Pallas backward kernel; parameter
+    cotangents from the unfused reference (DCE'd when unused — attacks
+    never differentiate w.r.t. weights)."""
     x1, x2, temb_row, params = res
+    dx1, dx2, dtemb = fused_resblock_cat_bwd_pallas(
+        x1, x2, temb_row, params, g, num_groups1=num_groups1,
+        num_groups2=num_groups2, eps=eps, rescale=rescale,
+        interpret=interpret)
 
-    def ref(xx1, xx2, tt, pp):
+    def ref_p(pp):
         return fused_resblock_reference(
-            jnp.concatenate([xx1, xx2], axis=-1), tt, pp,
+            jnp.concatenate([x1, x2], axis=-1), temb_row, pp,
             num_groups1=num_groups1, num_groups2=num_groups2, eps=eps,
             rescale=rescale)
 
-    _, vjp = jax.vjp(ref, x1, x2, temb_row, params)
-    return vjp(g)
+    _, vjp_p = jax.vjp(ref_p, params)
+    (dparams,) = vjp_p(g)
+    return (dx1.astype(x1.dtype), dx2.astype(x2.dtype),
+            dtemb.astype(temb_row.dtype), dparams)
 
 
 fused_resblock_cat.defvjp(_frbc_fwd, _frbc_bwd)
@@ -501,13 +944,24 @@ def _frb_fwd(x, temb_row, params, num_groups1, num_groups2, eps, rescale,
 
 def _frb_bwd(num_groups1, num_groups2, eps, rescale, interpret, resample,
              res, g):
+    """Backward: dx/dtemb from the fused Pallas backward kernel (the
+    attack-gradient hot path — 2 transposed convs + 1 recompute conv, all
+    in VMEM); parameter cotangents from XLA autodiff of the unfused
+    reference, which XLA dead-code-eliminates whenever the caller does not
+    differentiate w.r.t. the weights (attacks never do)."""
     x, temb_row, params = res
-    _, vjp = jax.vjp(
-        lambda xx, tt, pp: fused_resblock_reference(
-            xx, tt, pp, num_groups1=num_groups1, num_groups2=num_groups2,
-            eps=eps, rescale=rescale, resample=resample),
-        x, temb_row, params)
-    return vjp(g)
+    dx, dtemb = fused_resblock_bwd_pallas(
+        x, temb_row, params, g, num_groups1=num_groups1,
+        num_groups2=num_groups2, eps=eps, rescale=rescale,
+        resample=resample, interpret=interpret)
+    _, vjp_p = jax.vjp(
+        lambda pp: fused_resblock_reference(
+            x, temb_row, pp, num_groups1=num_groups1,
+            num_groups2=num_groups2, eps=eps, rescale=rescale,
+            resample=resample),
+        params)
+    (dparams,) = vjp_p(g)
+    return dx.astype(x.dtype), dtemb.astype(temb_row.dtype), dparams
 
 
 fused_resblock.defvjp(_frb_fwd, _frb_bwd)

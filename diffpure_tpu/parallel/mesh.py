@@ -49,6 +49,14 @@ def make_mesh(data: Optional[int] = None, eot: int = 1,
         if data is not None and data * eot > len(devices):
             cpu = jax.devices("cpu")
             if len(cpu) >= data * eot:
+                # Loud by design: a leftover
+                # xla_force_host_platform_device_count flag must not let a
+                # TPU benchmark/eval silently run on virtual CPU devices.
+                import warnings
+                warnings.warn(
+                    f"make_mesh: default platform has {len(devices)} "
+                    f"device(s) < requested {data}x{eot}; falling back to "
+                    f"{data * eot} virtual CPU devices", stacklevel=2)
                 devices = cpu[: data * eot]
     n = len(devices)
     if data is None:

@@ -44,6 +44,99 @@ class NFECounter:
 _GLOBAL_NFE: Optional[NFECounter] = None
 
 
+class NFETally:
+    """Trace-time NFE accumulator whose total is a *program output*.
+
+    Host callbacks are rejected by some real backends (docs/PERF.md: the
+    axon plugin fails jax.debug.callback at run time), so runtime NFE
+    observability there comes from threading a counter scalar through the
+    program instead (the reference's counter buffer worked everywhere,
+    ref eval_sde_adv.py:57-91). Pattern, inside a scan body:
+
+        with nfe_tally() as t:
+            logits = defended(x, key)          # solvers record into t
+        carry_nfe = carry_nfe + t.total        # runtime accumulation
+
+    and after execution the host absorbs the fetched scalar via
+    `absorb_nfe(t.phases, carry_nfe_out)`.  `total` is exact even for
+    data-dependent NFE (traced adds); `phases` keeps the static breakdown
+    for attribution.
+    """
+
+    def __init__(self):
+        self._static = 0
+        self._traced = None
+        self.phases: Dict[str, int] = defaultdict(int)
+
+    def add(self, phase: str, nfe) -> None:
+        # Static counts accumulate as Python ints: a jnp add executed here
+        # would produce a tracer of whatever INNER trace is active when the
+        # solver records (e.g. the grad trace of the model region), which
+        # must not escape to the consumer's trace level.
+        import numpy as np
+        if isinstance(nfe, (int, np.integer)):
+            self._static += int(nfe)
+            self.phases[phase] += int(nfe)
+        else:
+            # traced contribution: only legal when added at the same trace
+            # level that reads .total (data-dependent NFE extension point)
+            self._traced = (nfe if self._traced is None
+                            else self._traced + nfe)
+
+    @property
+    def total(self):
+        """Tally as an int32 scalar, materialized in the caller's trace."""
+        import jax.numpy as jnp
+        t = jnp.asarray(self._static, jnp.int32)
+        if self._traced is not None:
+            t = t + self._traced
+        return t
+
+
+_TALLY_STACK: list = []
+
+
+@contextlib.contextmanager
+def nfe_tally() -> Iterator[NFETally]:
+    """Scoped device-side NFE tally; solvers traced inside feed it.
+
+    While a tally is active, record_nfe does NOT also insert host callbacks
+    (the enclosing instrumented region is responsible for absorbing the
+    count — avoids double counting on callback-capable backends)."""
+    t = NFETally()
+    _TALLY_STACK.append(t)
+    try:
+        yield t
+    finally:
+        _TALLY_STACK.pop()
+
+
+@contextlib.contextmanager
+def nfe_mute() -> Iterator[None]:
+    """Discard NFE records from shape-only traces (jax.eval_shape of a
+    model region re-runs record_nfe; without muting, the enclosing tally
+    would double-count)."""
+    _TALLY_STACK.append(NFETally())
+    try:
+        yield
+    finally:
+        _TALLY_STACK.pop()
+
+
+def absorb_nfe(phases: Dict[str, int], runtime_total) -> None:
+    """Credit an executed program's NFE-counter output to the installed
+    global ledger, attributed over the tally's static phase breakdown."""
+    if _GLOBAL_NFE is None:
+        return
+    total = int(runtime_total)
+    static_total = sum(phases.values())
+    if static_total > 0:
+        for k, v in phases.items():
+            _GLOBAL_NFE.add(k, total * v // static_total)
+    elif total:
+        _GLOBAL_NFE.add("unattributed", total)
+
+
 def set_global_nfe_counter(counter: Optional[NFECounter]) -> None:
     """Install (or clear with None) the process-wide NFE ledger. Solvers
     only insert callbacks while a counter is installed — zero overhead
@@ -100,13 +193,22 @@ def host_callbacks_supported() -> bool:
 def record_nfe(phase: str, nfe: int) -> None:
     """Called by solvers at trace time with their static per-invocation NFE
     (forward evaluations; gradient-pass recomputation is not counted).
-    Fires once per runtime execution via jax.debug.callback."""
+
+    With an nfe_tally() active, feeds the device-side tally (program-output
+    counting — works on callback-less backends); otherwise falls back to a
+    jax.debug.callback that fires once per runtime execution."""
+    if _TALLY_STACK:
+        _TALLY_STACK[-1].add(phase, nfe)
+        return
     if _GLOBAL_NFE is None or not host_callbacks_supported():
         return
 
+    counter = _GLOBAL_NFE  # close over the instance active at trace time:
+    # a cached executable re-run under a later count_nfe() context must not
+    # bump that later context's counter (scoped-counting contract).
+
     def _bump():
-        if _GLOBAL_NFE is not None:
-            _GLOBAL_NFE.add(phase, nfe)
+        counter.add(phase, nfe)
 
     jax.debug.callback(_bump)
 

@@ -107,3 +107,102 @@ class TestDefendedTick:
         loop(key).block_until_ready()
         # 4 scan iterations -> 4 runtime ticks, not 1 trace-time tick
         assert model._counter == 4
+
+
+class TestProgramOutputNFE:
+    """NFE as a program output (nfe_tally): runtime counting must work on
+    backends that reject host callbacks (VERDICT r2 weak #4/#8)."""
+
+    def test_tally_accumulates_through_scan(self, key):
+        from diffpure_tpu.utils.profiling import nfe_tally
+        score_fn, W = tiny_score_fn()
+        cfg = PurifyConfig(diffusion_type="sde", t=3,
+                           score_type="score_sde", grad_mode="none")
+        x = jnp.zeros((2, 4, 4, 3))
+        EOT = 5
+
+        @jax.jit
+        def attack_step(p, xx, k):
+            def body(nfe, i):
+                with nfe_tally() as t:
+                    out = purify(score_fn, p, xx, jax.random.fold_in(k, i),
+                                 cfg)
+                return nfe + t.total, out.sum()
+            nfe, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(EOT))
+            return nfe
+
+        assert int(attack_step(W, x, key)) == EOT * 3
+
+    def test_apgd_counts_without_callbacks(self, key, monkeypatch):
+        """count_nfe() works through apgd_attack even when the backend
+        refuses host callbacks (the axon case)."""
+        import diffpure_tpu.utils.profiling as prof
+        from diffpure_tpu.attacks.apgd import APGDConfig, apgd_attack
+
+        monkeypatch.setattr(prof, "_HOST_CALLBACKS_OK", False)
+        score_fn, W = tiny_score_fn()
+        pcfg = PurifyConfig(diffusion_type="sde", t=3,
+                            score_type="score_sde", grad_mode="checkpoint")
+        x01 = jnp.full((2, 4, 4, 3), 0.5)
+        y = jnp.array([0, 1], jnp.int32)
+
+        def model_fn(xx, k):
+            xpure = purify(score_fn, W, (xx - 0.5) * 2, k, pcfg)
+            return xpure.reshape(xx.shape[0], -1)[:, :3]
+
+        cfg = APGDConfig(n_iter=4, eot_iter=2, eps=0.03)
+        with count_nfe() as c:
+            apgd_attack(model_fn, x01, y, key, cfg)
+        # (init + 4 iterations) x 2 EOT x 3 solver steps
+        assert c.counts["sde_euler"] == 5 * 2 * 3
+
+    def test_apgd_chunked_dispatch_counts(self, key, monkeypatch):
+        import diffpure_tpu.utils.profiling as prof
+        from diffpure_tpu.attacks.apgd import APGDConfig, apgd_attack
+
+        monkeypatch.setattr(prof, "_HOST_CALLBACKS_OK", False)
+        score_fn, W = tiny_score_fn()
+        pcfg = PurifyConfig(diffusion_type="sde", t=2,
+                            score_type="score_sde", grad_mode="checkpoint")
+        x01 = jnp.full((2, 4, 4, 3), 0.5)
+        y = jnp.array([0, 1], jnp.int32)
+
+        def model_fn(xx, k):
+            xpure = purify(score_fn, W, (xx - 0.5) * 2, k, pcfg)
+            return xpure.reshape(xx.shape[0], -1)[:, :3]
+
+        cfg = APGDConfig(n_iter=5, eot_iter=1, eps=0.03,
+                         iters_per_dispatch=2)
+        with count_nfe() as c:
+            apgd_attack(model_fn, x01, y, key, cfg)
+        assert c.counts["sde_euler"] == 6 * 2  # (init + 5 iters) x 2 steps
+
+    def test_bpda_counts_without_callbacks(self, key, monkeypatch):
+        import diffpure_tpu.utils.profiling as prof
+        from diffpure_tpu.attacks.bpda_eot import BPDAEOTConfig, \
+            bpda_eot_attack
+
+        monkeypatch.setattr(prof, "_HOST_CALLBACKS_OK", False)
+        score_fn, W = tiny_score_fn()
+        pcfg = PurifyConfig(diffusion_type="sde", t=2,
+                            score_type="score_sde", grad_mode="none")
+
+        def purify_fn(x01, k):
+            return (purify(score_fn, W, (x01 - 0.5) * 2, k, pcfg) + 1) * 0.5
+
+        def classify_fn(x01):
+            return x01.reshape(x01.shape[0], -1)[:, :3]
+
+        x01 = jnp.full((2, 4, 4, 3), 0.5)
+        y = jnp.array([0, 1], jnp.int32)
+        cfg = BPDAEOTConfig(adv_steps=2, eot_defense_reps=2,
+                            eot_attack_reps=2, defense_batch=2)
+        with count_nfe() as c:
+            bpda_eot_attack(purify_fn, classify_fn, x01, y, key, cfg)
+        # every purify execution contributes 2 solver steps; exact layout:
+        # 1 defense_predict (1 chunk) + (adv_steps+1) attack_step calls
+        # + any flip re-verifications -- count must be a positive multiple
+        # of 2 and at least (1 + 3) * 2
+        assert c.counts["sde_euler"] >= 8
+        assert c.counts["sde_euler"] % 2 == 0
