@@ -43,28 +43,61 @@ class SmallCNN(nn.Module):
         return nn.Dense(self.n_classes)(x)
 
 
+class SmallMLP(nn.Module):
+    """Flattened-input MLP classifier.
+
+    Compiles in seconds on CPU (no convolutions), which makes it the
+    classifier for the fast in-suite defense regression test; MLPs are
+    also the canonically fragile standard-trained model."""
+
+    n_classes: int = 4
+    width: int = 128
+
+    @nn.compact
+    def __call__(self, x01: Array) -> Array:
+        x = ((x01 - 0.5) * 2.0).reshape(x01.shape[0], -1)
+        x = nn.relu(nn.Dense(self.width)(x))
+        x = nn.relu(nn.Dense(self.width // 2)(x))
+        return nn.Dense(self.n_classes)(x)
+
+
 def train_classifier(key: Array, sample_fn, *, n_classes: int = 4,
                      width: int = 32, steps: int = 1000,
-                     batch_size: int = 256, lr: float = 1e-3,
-                     scan_chunk: int = 100):
-    """Train a SmallCNN on an infinite sampler; returns (model, params, loss).
+                     batch_size: int = 128, lr: float = 1e-3,
+                     scan_chunk: int = 100, n_train: int = 0,
+                     arch: str = "cnn"):
+    """Train a SmallCNN; returns (model, params, final_loss).
 
-    sample_fn(key, n) -> (x in [-1,1] NHWC, y int32).  Training is chunked
-    into lax.scan blocks of `scan_chunk` steps so the whole loop is a handful
-    of XLA dispatches (one host fetch per chunk — see axon sync cost,
-    docs/PERF.md).
+    sample_fn(key, n) -> (x in [-1,1] NHWC, y int32).  With n_train > 0 a
+    FIXED training set of that size is drawn once and minibatches sample
+    from it — the finite-data regime in which a standard-trained classifier
+    becomes adversarially fragile (decision boundary interpolates the
+    training points); n_train == 0 streams fresh data every step.
+
+    Training is chunked into lax.scan blocks of `scan_chunk` steps so the
+    whole loop is a handful of XLA dispatches (one host fetch per chunk —
+    see the remote-backend sync cost, docs/PERF.md).
     """
     import optax
 
     x0, _ = sample_fn(key, 2)
-    model = SmallCNN(n_classes=n_classes, width=width)
+    model = (SmallMLP(n_classes=n_classes, width=max(width, 64))
+             if arch == "mlp" else
+             SmallCNN(n_classes=n_classes, width=width))
     params = model.init(key, (x0 + 1.0) * 0.5)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+    if n_train > 0:
+        xtr, ytr = sample_fn(jax.random.fold_in(key, 999_983), n_train)
 
     def one_step(carry, i):
         params, opt_state = carry
-        x, y = sample_fn(jax.random.fold_in(key, i), batch_size)
+        if n_train > 0:
+            idx = jax.random.randint(jax.random.fold_in(key, i),
+                                     (batch_size,), 0, n_train)
+            x, y = xtr[idx], ytr[idx]
+        else:
+            x, y = sample_fn(jax.random.fold_in(key, i), batch_size)
 
         def loss_fn(p):
             logits = model.apply(p, (x + 1.0) * 0.5)

@@ -1,0 +1,76 @@
+"""Run the in-env trained-weights defense demonstration.
+
+Trains the demo classifier + score model (diffpure_tpu/experiments/
+defense_demo.py), runs the reference protocol (undefended vs defended,
+APGD-EOT white-box + BPDA+EOT), optionally for both Euler-t* and
+DPM-Solver++(2M)@20 purification (defense-equivalence), and writes
+results JSON + a markdown report.
+
+Usage:
+  python scripts/defense_demo.py --platform cpu --out docs/defense_demo
+  python scripts/defense_demo.py                 # real TPU chip
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    ap.add_argument("--out", default="docs/defense_demo")
+    ap.add_argument("--score_steps", type=int, default=None)
+    ap.add_argument("--dpm", action="store_true",
+                    help="also run DPM-Solver++@20 defense-equivalence")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from diffpure_tpu.experiments import (DemoConfig, run_demo_protocol,
+                                          train_demo_classifier,
+                                          train_demo_score)
+
+    overrides = {"seed": args.seed}
+    if args.score_steps:
+        overrides["score_steps"] = args.score_steps
+    cfg = DemoConfig(**overrides)
+    print(f"config: {cfg}", flush=True)
+    print(f"platform: {jax.devices()[0].platform} "
+          f"({getattr(jax.devices()[0], 'device_kind', '?')})", flush=True)
+
+    t0 = time.time()
+    clf, clf_params = train_demo_classifier(cfg)
+    print(f"classifier trained ({time.time() - t0:.0f}s)", flush=True)
+
+    score_model, score_params = train_demo_score(
+        cfg, log=lambda s: print(s, flush=True))
+
+    dtypes = ("sde", "dpm") if args.dpm else ("sde",)
+    results = run_demo_protocol(cfg, score_model, score_params, clf,
+                                clf_params, diffusion_types=dtypes,
+                                log=lambda s: print(s, flush=True))
+    results["wall_s"] = round(time.time() - t0, 1)
+    results["platform"] = jax.devices()[0].platform
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "config"},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
