@@ -82,6 +82,18 @@ class GroupNorm32P(nn.Module):
 # are HBM-bound and this is 2r+1w instead of XLA's ~5-7 traversals
 _TILED_GN_MIN_BYTES = 2 * 1024 * 1024
 
+# Halo-tiled GN+SiLU+conv fusion (ops/halo_conv.py): measured SLOWER than
+# [tiled GN + XLA native conv] on ADM-256 (146 vs 121 ms/eval even with
+# double-buffered DMA prefetch — XLA's spatial conv emitter beats the
+# kernel's 9-shifted-matmul form at 256px shapes; docs/PERF.md "halo
+# fusion: a measured negative result"). Kept available for experiments.
+_HALO_CONV = False
+
+
+def set_halo_conv(enable: bool) -> None:
+    global _HALO_CONV
+    _HALO_CONV = enable
+
 
 def _use_tiled_gn(x) -> bool:
     from diffpure_tpu.models.layers import _fused_resblock_active
@@ -90,6 +102,34 @@ def _use_tiled_gn(x) -> bool:
     H, W, C = x.shape[1], x.shape[2], x.shape[3]
     return (_fused_resblock_active()
             and H * W * C * 4 >= _TILED_GN_MIN_BYTES and H % 2 == 0)
+
+
+class ConvADMP(nn.Module):
+    """SAME conv with setup-defined params so the halo-fused path can read
+    `.kernel`/`.bias` directly. Same param names/shapes and numerics as the
+    nn.Conv modules it shadows (the init/unfused path) — one checkpoint
+    serves both paths."""
+    in_ch: int
+    features: int
+    ksize: int = 3
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", self.kernel_init,
+            (self.ksize, self.ksize, self.in_ch, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x: Array) -> Array:
+        cdt = self.dtype or x.dtype
+        pad = self.ksize // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdt), self.kernel.astype(cdt), (1, 1),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + self.bias.astype(cdt)
 
 
 class ResBlockADM(nn.Module):
@@ -117,6 +157,52 @@ class ResBlockADM(nn.Module):
         tiled = (not train and not self.is_initializing()
                  and _use_tiled_gn(x))
         interpret = jax.default_backend() != "tpu"
+
+        # --- halo-fused path: [GN+SiLU+conv] and [GN+FiLM+SiLU+conv+skip]
+        # each as ONE streamed pass with a 1-row halo (ops/halo_conv.py) —
+        # the 256px maps exceed VMEM, so this 2-kernel pipeline (stats ->
+        # halo conv) is the bandwidth optimum (docs/PERF.md).
+        lanes_ok = interpret or (in_ch % 128 == 0
+                                 and self.out_channels % 128 == 0)
+        # weight operands are replicated into VMEM: the up-path concat
+        # blocks (in_ch up to 1536) would blow the 16 MB scoped-vmem limit
+        # on their 9*cin*cout kernel alone — those keep the tiled-GN path
+        weights_fit = (9 * in_ch * self.out_channels * 2
+                       <= 6 * 1024 * 1024)
+        if (_HALO_CONV and tiled and lanes_ok and weights_fit
+                and not (self.up or self.down)
+                and self.use_scale_shift_norm and not self.use_conv_skip
+                and _use_tiled_gn(
+                    jax.ShapeDtypeStruct(
+                        x.shape[:3] + (self.out_channels,), x.dtype))):
+            from diffpure_tpu.ops.halo_conv import gn_silu_conv_block
+
+            conv_in = ConvADMP(in_ch=in_ch, features=self.out_channels,
+                               dtype=self.dtype, name="in_layers_2")
+            conv_out = ConvADMP(in_ch=self.out_channels,
+                                features=self.out_channels,
+                                kernel_init=zero_init(), dtype=self.dtype,
+                                name="out_layers_3")
+            emb_out = nn.Dense(2 * self.out_channels, dtype=self.dtype,
+                               name="emb_layers_1")(nn.swish(emb))
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            if in_ch != self.out_channels:
+                proj = ConvADMP(in_ch=in_ch, features=self.out_channels,
+                                ksize=1, dtype=self.dtype,
+                                name="skip_connection")
+                w_proj, x_skip = proj.kernel[0, 0], x
+                # fold the skip-projection bias into the conv bias
+                b_out = conv_out.bias + proj.bias
+            else:
+                w_proj, x_skip, b_out = None, x, conv_out.bias
+
+            h = gn_silu_conv_block(x, gn_in.scale, gn_in.bias, None, None,
+                                   conv_in.kernel, conv_in.bias, None,
+                                   None, 32, 1e-5, interpret)
+            return gn_silu_conv_block(h, gn_out.scale, gn_out.bias, scale,
+                                      shift, conv_out.kernel, b_out,
+                                      x_skip, w_proj, 32, 1e-5, interpret)
+
         if tiled:
             from diffpure_tpu.ops.tiled_groupnorm import group_norm_film_silu
             h = group_norm_film_silu(x, gn_in.scale, gn_in.bias, 32, 1e-5,

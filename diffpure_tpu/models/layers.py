@@ -311,11 +311,12 @@ class AttnBlockpp(nn.Module):
         ninv = NINP(C, C, name="NIN_2")
         nino = NINP(C, C, init_scale=self.init_scale, name="NIN_3")
 
-        if (_fused_resblock_active() and not self.is_initializing()):
+        interpret = jax.default_backend() != "tpu"
+        if (_fused_resblock_active() and (interpret or C % 128 == 0)
+                and not self.is_initializing()):
             from diffpure_tpu.ops.fused_attnblock import fused_attnblock
             params = (gn.scale, gn.bias, ninq.W, ninq.b, nink.W, nink.b,
                       ninv.W, ninv.b, nino.W, nino.b)
-            interpret = jax.default_backend() != "tpu"
             return fused_attnblock(x, params, ncsn_num_groups(C), 1e-6,
                                    self.skip_rescale, interpret)
 
@@ -505,7 +506,16 @@ class ResnetBlockBigGANpp(nn.Module):
         # --- fused single-kernel path (ops/fused_resblock.py) -------------
         # eval mode (dropout identity), swish act; naive (non-FIR) up/down
         # resampling runs in-kernel too
-        if (_fused_resblock_active() and deterministic
+        # lane alignment: on real TPUs the kernels' reshape tricks
+        # (resample lane-merge, seam-aligned concat stores) need
+        # 128-multiple channel counts — true for every published NCSN++
+        # config (nf >= 128); smaller experiment models (e.g. the defense
+        # demo's nf=32) fall back to the unfused XLA graph, where they are
+        # fast anyway. Interpret mode (off-TPU tests) has no lane
+        # constraint.
+        interpret = jax.default_backend() != "tpu"
+        lanes_ok = interpret or (in_ch % 128 == 0 and out_ch % 128 == 0)
+        if (_fused_resblock_active() and deterministic and lanes_ok
                 and self.act is nn.swish and temb is not None
                 and not ((self.up or self.down) and self.fir)
                 and not self.is_initializing()):
@@ -516,7 +526,6 @@ class ResnetBlockBigGANpp(nn.Module):
                       gn2.scale, gn2.bias, conv1.kernel, conv1.bias,
                       proj.kernel[0, 0] if has_proj else None,
                       proj.bias if has_proj else None)
-            interpret = jax.default_backend() != "tpu"
             resample = "up" if self.up else ("down" if self.down
                                              else "none")
             if (x_pair is not None and has_proj and resample == "none"

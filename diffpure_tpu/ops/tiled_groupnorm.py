@@ -49,15 +49,17 @@ def _norm_kernel(x_ref, a_ref, b_ref, o_ref, *, apply_silu: bool):
     o_ref[...] = h.astype(o_ref.dtype)
 
 
-def group_norm_film_silu_tiled(x: Array, scale: Array, bias: Array,
-                               num_groups: int, eps: float = 1e-5,
-                               film_scale: Optional[Array] = None,
-                               film_shift: Optional[Array] = None,
-                               apply_silu: bool = True,
-                               interpret: bool = False) -> Array:
-    """silu(GN(x) * (1 + film_scale) + film_shift) in 2 reads + 1 write.
+def group_stats_affine(x: Array, scale: Array, bias: Array,
+                       num_groups: int, eps: float = 1e-5,
+                       film_scale: Optional[Array] = None,
+                       film_shift: Optional[Array] = None,
+                       interpret: bool = False):
+    """(A, B) per-(example, channel) fp32 affine such that
+    GN(x)*(1+film_scale)+film_shift == x*A + B.
 
-    x (N,H,W,C); scale/bias (C,); film_scale/film_shift (N,C) or None.
+    One Pallas stats pass (partial sums per row-tile) + a tiny XLA combine.
+    Shared by the tiled-GN normalize pass and the halo-fused conv
+    (ops/halo_conv.py), which consume A/B instead of re-deriving stats.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -105,6 +107,27 @@ def group_norm_film_silu_tiled(x: Array, scale: Array, bias: Array,
         fs = 1.0 + film_scale.astype(jnp.float32)
         A = A * fs
         B = B * fs + film_shift.astype(jnp.float32)
+    return A, B
+
+
+def group_norm_film_silu_tiled(x: Array, scale: Array, bias: Array,
+                               num_groups: int, eps: float = 1e-5,
+                               film_scale: Optional[Array] = None,
+                               film_shift: Optional[Array] = None,
+                               apply_silu: bool = True,
+                               interpret: bool = False) -> Array:
+    """silu(GN(x) * (1 + film_scale) + film_shift) in 2 reads + 1 write.
+
+    x (N,H,W,C); scale/bias (C,); film_scale/film_shift (N,C) or None.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, H, W, C = x.shape
+    th = _pick_tile(H, W, C)
+    T = H // th
+    A, B = group_stats_affine(x, scale, bias, num_groups, eps, film_scale,
+                              film_shift, interpret=interpret)
 
     out = pl.pallas_call(
         functools.partial(_norm_kernel, apply_silu=apply_silu),

@@ -10,9 +10,9 @@ def main():
     from diffpure_tpu.purify import PurifyConfig, purify
 
     key = jax.random.PRNGKey(0)
-    for use_flash, batch in [(False, 8), (True, 8)]:
+    for batch in [8]:
         cfg_m = imagenet256_config(use_bf16=True)
-        model = ADMUNet(use_flash=use_flash, **cfg_m)
+        model = ADMUNet(**cfg_m)
         params = jax.eval_shape(lambda: model.init(
             key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32)))
         params = jax.tree_util.tree_map(
@@ -28,7 +28,7 @@ def main():
                 lambda p, a, t: model.apply(p, a, t), params, xx, k,
                 cfg).sum())
 
-        label = f"flash={use_flash} b{batch}"
+        label = f"b{batch}"
         t0 = time.time()
         float(run(params, x, jax.random.fold_in(key, 2)))
         print(f"[{label}] compile {time.time() - t0:.0f}s", flush=True)
