@@ -82,12 +82,10 @@ class GroupNorm32P(nn.Module):
 # are HBM-bound and this is 2r+1w instead of XLA's ~5-7 traversals
 _TILED_GN_MIN_BYTES = 2 * 1024 * 1024
 
-# Halo-tiled GN+SiLU+conv fusion (ops/halo_conv.py): measured SLOWER than
-# [tiled GN + XLA native conv] on ADM-256 (146 vs 121 ms/eval even with
-# double-buffered DMA prefetch — XLA's spatial conv emitter beats the
-# kernel's 9-shifted-matmul form at 256px shapes; docs/PERF.md "halo
-# fusion: a measured negative result"). Kept available for experiments.
-_HALO_CONV = False
+# Halo-tiled GN+SiLU+conv fusion (ops/halo_conv.py) with double-buffered
+# DMA prefetch: measured 1.43x on ADM-256 at B=4 (115.5 -> 80.7 ms/eval)
+# and 1.14x at B=8 (166.3 -> 145.8) — matched-batch A/B in docs/PERF.md.
+_HALO_CONV = True
 
 
 def set_halo_conv(enable: bool) -> None:

@@ -198,3 +198,31 @@ class TestSquareL2Parity:
         # found examples are genuinely misclassified
         lg = np.asarray(model_fn(jnp.asarray(x_adv), jax.random.PRNGKey(0)))
         assert (lg.argmax(-1)[np.asarray(found)] != y[np.asarray(found)]).all()
+
+    def test_l2_init_grid_anchored_at_upstream_sp_init(self):
+        """Upstream's eta-grid is centered: cells start at
+        sp_init = (H - s0*(H//s0)) // 2 with H//s0 cells per side (the
+        autoattack square.py l2 init), NOT flush with row/col 0."""
+        import inspect
+        from diffpure_tpu.attacks import square as sq
+        src = inspect.getsource(sq._square_l2)
+        assert "sp_h" in src and "(H - s0 * (H // s0)) // 2" in src
+
+        # behavioral check: for H=W=32, s0=6 -> 5x5 cells anchored at 1;
+        # with fixed injected draws the init perturbation must be zero on
+        # the uncovered border band (row 0 and the last row)
+        B, H, W, C = 1, 32, 32, 3
+        x = np.full((B, H, W, C), 0.5, np.float32)
+        y = np.zeros((B,), np.int64)
+        model_fn = make_model(d=H * W * C)
+        cfg = SquareConfig(norm="L2", eps=10.0, n_queries=1)
+        x_adv, _ = square_attack(model_fn, jnp.asarray(x), jnp.asarray(y),
+                                 jax.random.PRNGKey(0), cfg)
+        d = np.asarray(x_adv) - x
+        s0 = H // 5
+        sp = (H - s0 * (H // s0)) // 2
+        assert np.abs(d[:, :sp]).max() == 0.0
+        assert np.abs(d[:, sp + s0 * (H // s0):]).max() == 0.0
+        assert np.abs(d[:, :, :sp]).max() == 0.0
+        assert np.abs(d[:, sp + s0 * (H // s0):]).max() > -1  # border cols
+        assert np.abs(d[:, sp:sp + s0, sp:sp + s0]).max() > 0.0

@@ -102,7 +102,6 @@ def test_adm_resblock_halo_with_skip_projection(rng):
         got = blk.apply(params, x, emb)
     finally:
         L.set_fused_resblock("auto")
-        adm_unet.set_halo_conv(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
@@ -125,7 +124,7 @@ def test_adm_resblock_halo_grads_match(rng):
             return (blk.apply(params, xx, emb) ** 2).sum()
         finally:
             L.set_fused_resblock("auto")
-            adm_unet.set_halo_conv(False)
+            adm_unet.set_halo_conv(True)
 
     gf = jax.grad(lambda xx: loss(xx, True))(x)
     gr = jax.grad(lambda xx: loss(xx, False))(x)
