@@ -138,6 +138,34 @@ def bench_adm256():
     return dt, compile_s
 
 
+CELEBA_BATCH = 2
+CELEBA_T_STAR = 50  # ms/eval is what matters; the protocol runs t*=500
+
+
+def bench_celebahq():
+    """CelebA-HQ SDEdit DDPM-256 discrete loop (bf16 serving config)."""
+    from diffpure_tpu.models.ddpm_unet import DDPMUNet
+    from diffpure_tpu.purify import PurifyConfig, purify
+
+    key = jax.random.PRNGKey(0)
+    model = DDPMUNet(dtype=jnp.bfloat16)
+    params = jax.eval_shape(lambda: model.init(
+        key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32)))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params)
+    cfg = PurifyConfig(diffusion_type="celebahq-ddpm", t=CELEBA_T_STAR,
+                       score_type="guided_diffusion", learn_sigma=False,
+                       grad_mode="none")
+    x = jax.random.uniform(key, (CELEBA_BATCH, 256, 256, 3)) * 2 - 1
+
+    @jax.jit
+    def run(params, xx, k):
+        return jnp.float32(purify(
+            lambda p, a, t: model.apply(p, a, t), params, xx, k, cfg).sum())
+
+    return _timed(run, params, x, key)
+
+
 def main():
     n_chips = jax.device_count()
     peak = _peak_tflops()
@@ -186,6 +214,17 @@ def main():
         }
     except Exception as e:
         workloads["imagenet256_adm_t150"] = {"error": repr(e)[:200]}
+
+    # --- CelebA-HQ DDPM-256 (the t*=500 BPDA protocol's UNet) -----------
+    try:
+        dt, compile_s = bench_celebahq()
+        workloads["celebahq_ddpm256_bf16"] = {
+            "ms_per_unet_eval": round(dt / CELEBA_T_STAR * 1e3, 2),
+            "batch": CELEBA_BATCH,
+            "compile_s": round(compile_s, 1),
+        }
+    except Exception as e:
+        workloads["celebahq_ddpm256_bf16"] = {"error": repr(e)[:200]}
 
     out["workloads"] = workloads
     print(json.dumps(out))

@@ -255,6 +255,27 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
                 f"white-box): {res['robust_acc_apgd_eot']:.2%} "
                 f"({time.time() - t0:.0f}s)")
 
+        if "aa-standard" in attacks:
+            # the full standard suite (APGD-CE, APGD-T, FAB-T, Square)
+            # through the purifier with reduced budgets — exercises the
+            # robust-subset phase protocol end-to-end on a real defense
+            t0 = time.time()
+            aa_std = AutoAttack(
+                defended,
+                AutoAttackConfig(version="standard", eps=cfg.eps,
+                                 n_iter=cfg.apgd_iter,
+                                 eot_iter=1, square_n_queries=300,
+                                 fab_n_target_classes=cfg.n_classes - 1,
+                                 apgd_t_n_target_classes=cfg.n_classes - 1),
+                log_fn=lambda s: log(f"  [aa-std] {s}"))
+            _, rob_std = aa_std.run_standard_evaluation(
+                x01, y, jax.random.fold_in(key, 15))
+            res["robust_acc_aa_standard"] = float(
+                np.asarray(rob_std).mean())
+            log(f"[{tag}] defended robust (AA standard, 4 attacks): "
+                f"{res['robust_acc_aa_standard']:.2%} "
+                f"({time.time() - t0:.0f}s)")
+
         if "bpda" in attacks:
             from diffpure_tpu.attacks.bpda_eot import (BPDAEOTConfig,
                                                        bpda_eot_attack)

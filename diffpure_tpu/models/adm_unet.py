@@ -196,10 +196,11 @@ class ResBlockADM(nn.Module):
 
             h = gn_silu_conv_block(x, gn_in.scale, gn_in.bias, None, None,
                                    conv_in.kernel, conv_in.bias, None,
-                                   None, 32, 1e-5, interpret)
+                                   None, None, 32, 1e-5, interpret)
             return gn_silu_conv_block(h, gn_out.scale, gn_out.bias, scale,
                                       shift, conv_out.kernel, b_out,
-                                      x_skip, w_proj, 32, 1e-5, interpret)
+                                      x_skip, w_proj, None, 32, 1e-5,
+                                      interpret)
 
         if tiled:
             from diffpure_tpu.ops.tiled_groupnorm import group_norm_film_silu

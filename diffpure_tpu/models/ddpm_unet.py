@@ -50,6 +50,29 @@ class NormalizeP(nn.Module):
         return group_norm(x, self.scale, self.bias, 32, self.eps)
 
 
+def _halo_eligible(blk, x, in_ch: int, out_ch: int, train: bool) -> bool:
+    """Gate for the halo-fused eval path: big-enough maps, lane-aligned
+    channels (real TPU), weight operands that fit VMEM, no 3x3 conv
+    shortcut, eval mode."""
+    import jax as _jax
+
+    from diffpure_tpu.models import adm_unet
+
+    if train or blk.is_initializing() or blk.conv_shortcut:
+        return False
+    if not adm_unet._HALO_CONV:
+        return False
+    out_shape = _jax.ShapeDtypeStruct(x.shape[:3] + (out_ch,), x.dtype)
+    if not (adm_unet._use_tiled_gn(x)
+            and adm_unet._use_tiled_gn(out_shape)):
+        return False
+    interpret = _jax.default_backend() != "tpu"
+    if not (interpret or (in_ch % 128 == 0 and out_ch % 128 == 0)):
+        return False
+    esize = 2 if blk.dtype == jnp.bfloat16 else 4
+    return 9 * in_ch * out_ch * esize <= 6 * 1024 * 1024
+
+
 def _gn_silu(gn: NormalizeP, x: Array, train: bool,
              initializing: bool) -> Array:
     """GN+SiLU. Measured on-chip: the two-pass tiled Pallas GN that wins
@@ -72,13 +95,44 @@ class ResnetBlockDDPM(nn.Module):
         out_ch = self.out_channels or in_ch
         conv = lambda f, name: nn.Conv(f, (3, 3), padding="SAME",
                                        dtype=self.dtype, name=name)
-        h = _gn_silu(NormalizeP(in_ch, name="norm1"), x, train,
-                     self.is_initializing())
+        norm1 = NormalizeP(in_ch, name="norm1")
+        norm2 = NormalizeP(out_ch, name="norm2")
+
+        if _halo_eligible(self, x, in_ch, out_ch, train):
+            # halo-fused eval path (ops/halo_conv.py): each
+            # [GN+SiLU+conv3x3] runs as stats pass + one streamed halo
+            # kernel; the timestep-embedding add folds into the second
+            # stage's GN affine analytically (pre_shift) so x+temb is
+            # never materialized over the 256px map. 1.43x on ADM-256
+            # (docs/PERF.md); measured per-model below before shipping.
+            from diffpure_tpu.models.adm_unet import ConvADMP
+            from diffpure_tpu.ops.halo_conv import gn_silu_conv_block
+
+            interpret = jax.default_backend() != "tpu"
+            conv1 = ConvADMP(in_ch=in_ch, features=out_ch,
+                             dtype=self.dtype, name="conv1")
+            conv2 = ConvADMP(in_ch=out_ch, features=out_ch,
+                             dtype=self.dtype, name="conv2")
+            temb_row = nn.Dense(out_ch, dtype=self.dtype,
+                                name="temb_proj")(nn.swish(temb))
+            if in_ch != out_ch:
+                nin = ConvADMP(in_ch=in_ch, features=out_ch, ksize=1,
+                               dtype=self.dtype, name="nin_shortcut")
+                w_proj, b_out = nin.kernel[0, 0], conv2.bias + nin.bias
+            else:
+                w_proj, b_out = None, conv2.bias
+            h = gn_silu_conv_block(x, norm1.scale, norm1.bias, None, None,
+                                   conv1.kernel, conv1.bias, None, None,
+                                   None, 32, 1e-6, interpret)
+            return gn_silu_conv_block(h, norm2.scale, norm2.bias, None,
+                                      None, conv2.kernel, b_out, x, w_proj,
+                                      temb_row, 32, 1e-6, interpret)
+
+        h = _gn_silu(norm1, x, train, self.is_initializing())
         h = conv(out_ch, "conv1")(h)
         h = h + nn.Dense(out_ch, dtype=self.dtype,
                          name="temb_proj")(nn.swish(temb))[:, None, None, :]
-        h = _gn_silu(NormalizeP(out_ch, name="norm2"), h, train,
-                     self.is_initializing())
+        h = _gn_silu(norm2, h, train, self.is_initializing())
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv(out_ch, "conv2")(h)
         if in_ch != out_ch:

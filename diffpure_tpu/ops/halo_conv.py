@@ -32,25 +32,27 @@ Array = jax.Array
 
 
 def _pick_tile_halo(H: int, W: int, cin: int, cout: int, cr: int,
+                    esize: int = 2,
                     budget: int = 11 * 1024 * 1024) -> int:
     """Largest row-tile dividing H whose working set fits the VMEM budget.
 
     The budget must cover the replicated weight operands (dominant at
-    C=512+: 9*cin*cout bf16), the raw/activation scratches, the fp32
-    normalize temporary, the fp32 accumulator, the skip tile, and the
-    double-buffered output block — Mosaic's scoped-vmem limit on this chip
-    is 16 MB and under-counting OOMs at compile time.
+    C=512+: 9*cin*cout), the raw/activation scratches, the fp32 normalize
+    temporary, the fp32 accumulator, the skip tile, and the double-buffered
+    output block — Mosaic's scoped-vmem limit on this chip is 16 MB and
+    under-counting OOMs at compile time. esize = bytes per element of the
+    compute dtype (2 bf16 / 4 fp32 — the CelebA path is fp32 by default).
     """
-    weights = (9 * cin * cout + cr * cout) * 2          # bf16 operands
+    weights = (9 * cin * cout + cr * cout) * esize
     for th in (128, 64, 32, 16, 8, 4, 2, 1):
         if H % th != 0:
             continue
-        per = ((th + 2) * W * cin * 2 * 2       # raw rows, double-buffered
+        per = ((th + 2) * W * cin * esize * 2   # raw rows, double-buffered
                + (th + 2) * W * cin * 4         # fp32 normalize temporary
-               + (th + 2) * (W + 2) * cin * 2   # activation pad (compute)
+               + (th + 2) * (W + 2) * cin * esize  # activation pad
                + th * W * cout * 4              # fp32 accumulator
-               + th * W * cout * 2 * 2          # double-buffered out block
-               + th * W * cr * 2 * 2)           # skip tile, double-buffered
+               + th * W * cout * esize * 2      # double-buffered out block
+               + th * W * cr * esize * 2)       # skip tile, double-buffered
         if per + weights <= budget:
             return th
     return 1
@@ -168,7 +170,8 @@ def gn_silu_conv3x3_halo_pallas(
     compute_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
     out_dtype = out_dtype or x.dtype
-    th = _pick_tile_halo(H, W, cin, cout, cr if has_skip else 0)
+    th = _pick_tile_halo(H, W, cin, cout, cr if has_skip else 0,
+                         esize=jnp.dtype(compute_dtype).itemsize)
 
     # weights enter VMEM replicated — keep them in the compute dtype
     # (matches nn.Conv's dtype= cast; an fp32 9*cin*cout operand at C=512
@@ -245,13 +248,16 @@ def gn_conv_block_reference(x: Array, gn_scale: Array, gn_bias: Array,
                             film_shift: Optional[Array], w: Array,
                             bias: Array, skip: Optional[Array],
                             w_proj: Optional[Array], num_groups: int,
-                            eps: float) -> Array:
+                            eps: float,
+                            pre_shift: Optional[Array] = None) -> Array:
     """jnp reference of the full fused stage:
-    conv3x3(silu(GN(x)*(1+fs)+ft), w) + b [+ skip(@w_proj)]."""
+    conv3x3(silu(GN(x + pre_shift)*(1+fs)+ft), w) + b [+ skip(@w_proj)]."""
     from diffpure_tpu.ops.groupnorm import group_norm
 
-    h = group_norm(x.astype(jnp.float32), gn_scale, gn_bias, num_groups,
-                   eps)
+    x32 = x.astype(jnp.float32)
+    if pre_shift is not None:
+        x32 = x32 + pre_shift.astype(jnp.float32)[:, None, None, :]
+    h = group_norm(x32, gn_scale, gn_bias, num_groups, eps)
     if film_scale is not None:
         h = h * (1.0 + film_scale.astype(jnp.float32)[:, None, None, :]) \
             + film_shift.astype(jnp.float32)[:, None, None, :]
@@ -270,49 +276,54 @@ def gn_conv_block_reference(x: Array, gn_scale: Array, gn_bias: Array,
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def gn_silu_conv_block(x: Array, gn_scale: Array, gn_bias: Array,
                        film_scale: Optional[Array],
                        film_shift: Optional[Array], w: Array, bias: Array,
                        skip: Optional[Array], w_proj: Optional[Array],
+                       pre_shift: Optional[Array],
                        num_groups: int, eps: float,
                        interpret: bool = False) -> Array:
     """GN(+FiLM)+SiLU+conv3x3(+skip) as [stats pass -> halo-conv pass].
 
-    Differentiable: the backward is XLA autodiff of the jnp reference
-    (the ADM purifier runs under BPDA/no-grad in the reference protocol,
-    so the backward is cold; exactness is what matters)."""
+    pre_shift (N, C): additive per-channel shift before the GN (the DDPM
+    timestep-embedding add), folded into the affine exactly — never
+    materialized over the feature map. Differentiable: the backward is
+    XLA autodiff of the jnp reference (the 256px purifiers run under
+    BPDA/no-grad in the reference protocol, so the backward is cold;
+    exactness is what matters)."""
     return _gn_conv_block_fwd_impl(x, gn_scale, gn_bias, film_scale,
                                    film_shift, w, bias, skip, w_proj,
-                                   num_groups, eps, interpret)
+                                   pre_shift, num_groups, eps, interpret)
 
 
 def _gn_conv_block_fwd_impl(x, gn_scale, gn_bias, film_scale, film_shift,
-                            w, bias, skip, w_proj, num_groups, eps,
-                            interpret):
+                            w, bias, skip, w_proj, pre_shift, num_groups,
+                            eps, interpret):
     from diffpure_tpu.ops.tiled_groupnorm import group_stats_affine
 
     A, B = group_stats_affine(x, gn_scale, gn_bias, num_groups, eps,
-                              film_scale, film_shift, interpret=interpret)
+                              film_scale, film_shift, interpret=interpret,
+                              pre_shift=pre_shift)
     return gn_silu_conv3x3_halo_pallas(
         x, A, B, w, bias, skip=skip, w_proj=w_proj, out_dtype=x.dtype,
         interpret=interpret)
 
 
 def _gcb_fwd(x, gn_scale, gn_bias, film_scale, film_shift, w, bias, skip,
-             w_proj, num_groups, eps, interpret):
+             w_proj, pre_shift, num_groups, eps, interpret):
     out = _gn_conv_block_fwd_impl(x, gn_scale, gn_bias, film_scale,
                                   film_shift, w, bias, skip, w_proj,
-                                  num_groups, eps, interpret)
+                                  pre_shift, num_groups, eps, interpret)
     return out, (x, gn_scale, gn_bias, film_scale, film_shift, w, bias,
-                 skip, w_proj)
+                 skip, w_proj, pre_shift)
 
 
 def _gcb_bwd(num_groups, eps, interpret, res, g):
     (x, gn_scale, gn_bias, film_scale, film_shift, w, bias, skip,
-     w_proj) = res
+     w_proj, pre_shift) = res
     has = dict(film=film_scale is not None, skip=skip is not None,
-               proj=w_proj is not None)
+               proj=w_proj is not None, shift=pre_shift is not None)
     diff = [x, gn_scale, gn_bias]
     if has["film"]:
         diff += [film_scale, film_shift]
@@ -321,6 +332,8 @@ def _gcb_bwd(num_groups, eps, interpret, res, g):
         diff.append(skip)
     if has["proj"]:
         diff.append(w_proj)
+    if has["shift"]:
+        diff.append(pre_shift)
 
     def ref(*args):
         it = iter(args)
@@ -330,8 +343,9 @@ def _gcb_bwd(num_groups, eps, interpret, res, g):
         ww, cc = next(it), next(it)
         sk = next(it) if has["skip"] else None
         wp = next(it) if has["proj"] else None
+        ps = next(it) if has["shift"] else None
         return gn_conv_block_reference(xx, gs, gb, fs, ft, ww, cc, sk, wp,
-                                       num_groups, eps)
+                                       num_groups, eps, pre_shift=ps)
 
     _, vjp = jax.vjp(ref, *diff)
     grads = list(vjp(g))
@@ -342,7 +356,8 @@ def _gcb_bwd(num_groups, eps, interpret, res, g):
     gw, gb_ = next(it), next(it)
     gsk = next(it) if has["skip"] else None
     gwp = next(it) if has["proj"] else None
-    return gx, ggs, ggb, gfs, gft, gw, gb_, gsk, gwp
+    gps = next(it) if has["shift"] else None
+    return gx, ggs, ggb, gfs, gft, gw, gb_, gsk, gwp, gps
 
 
 gn_silu_conv_block.defvjp(_gcb_fwd, _gcb_bwd)

@@ -53,13 +53,21 @@ def group_stats_affine(x: Array, scale: Array, bias: Array,
                        num_groups: int, eps: float = 1e-5,
                        film_scale: Optional[Array] = None,
                        film_shift: Optional[Array] = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       pre_shift: Optional[Array] = None):
     """(A, B) per-(example, channel) fp32 affine such that
-    GN(x)*(1+film_scale)+film_shift == x*A + B.
+    GN(x + pre_shift)*(1+film_scale)+film_shift == x*A + B.
 
     One Pallas stats pass (partial sums per row-tile) + a tiny XLA combine.
     Shared by the tiled-GN normalize pass and the halo-fused conv
     (ops/halo_conv.py), which consume A/B instead of re-deriving stats.
+
+    pre_shift (N, C): a per-(example, channel) additive shift applied
+    BEFORE the GroupNorm — the DDPM blocks' timestep-embedding add
+    (ref unet_ddpm.py:107-110). Its effect on the statistics is exact
+    channel algebra (sum += HW*t, sumsq += 2*t*sum + HW*t^2) and its
+    residual lands in B (x*A + (B + t*A) == (x+t)*A + B), so the halo
+    kernel never materializes x + t.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -95,6 +103,19 @@ def group_stats_affine(x: Array, scale: Array, bias: Array,
     q_g = q_c.reshape(N, G, C // G).sum(-1)
     mean_g = s_g / n_per_group
     var_g = q_g / n_per_group - mean_g * mean_g
+    if pre_shift is not None:
+        # cancellation-free shift algebra: folding t into the raw sums
+        # (sumsq += 2t*sum + HW*t^2) loses ~|t|^2/var(x) relative digits
+        # in fp32; instead adjust the group moments directly:
+        #   mean' = mean + E[t],  var' = var + 2 cov(x,t) + var(t)
+        sh = pre_shift.astype(jnp.float32)
+        t_mean_g = sh.reshape(N, G, C // G).mean(-1)
+        xt_g = (sh * s_c).reshape(N, G, C // G).sum(-1) / n_per_group
+        t2_g = (sh * sh).reshape(N, G, C // G).sum(-1) * (H * W) \
+            / n_per_group
+        var_g = var_g + 2.0 * (xt_g - mean_g * t_mean_g) \
+            + (t2_g - t_mean_g * t_mean_g)
+        mean_g = mean_g + t_mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
     mean_c = jnp.repeat(mean_g, C // G, axis=-1)  # (N, C)
     rstd_c = jnp.repeat(rstd_g, C // G, axis=-1)
@@ -107,6 +128,8 @@ def group_stats_affine(x: Array, scale: Array, bias: Array,
         fs = 1.0 + film_scale.astype(jnp.float32)
         A = A * fs
         B = B * fs + film_shift.astype(jnp.float32)
+    if pre_shift is not None:
+        B = B + sh * A
     return A, B
 
 

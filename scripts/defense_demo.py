@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--score_steps", type=int, default=None)
     ap.add_argument("--dpm", action="store_true",
                     help="also run DPM-Solver++@20 defense-equivalence")
+    ap.add_argument("--standard", action="store_true",
+                    help="also run the full AA standard suite (APGD-CE/T, "
+                         "FAB-T, Square) through the purifier")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -59,8 +62,12 @@ def main():
         cfg, log=lambda s: print(s, flush=True))
 
     dtypes = ("sde", "dpm") if args.dpm else ("sde",)
+    attacks = ["apgd-eot", "bpda"]
+    if args.standard:
+        attacks.append("aa-standard")
     results = run_demo_protocol(cfg, score_model, score_params, clf,
                                 clf_params, diffusion_types=dtypes,
+                                attacks=tuple(attacks),
                                 log=lambda s: print(s, flush=True))
     results["wall_s"] = round(time.time() - t0, 1)
     results["platform"] = jax.devices()[0].platform

@@ -130,3 +130,52 @@ def test_adm_resblock_halo_grads_match(rng):
     gr = jax.grad(lambda xx: loss(xx, False))(x)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ddpm_resblock_halo_matches_unfused(rng):
+    """DDPM block halo path (temb folded into the GN affine via pre_shift)
+    vs the plain path, shared params — both channel-matched and projected
+    skips."""
+    from diffpure_tpu.models import layers as L
+    from diffpure_tpu.models.ddpm_unet import ResnetBlockDDPM
+    for in_ch, out_ch in [(128, 128), (128, 256)]:
+        blk = ResnetBlockDDPM(out_channels=out_ch)
+        x = jnp.asarray(rng.randn(1, 64, 64, in_ch).astype(np.float32) * 0.5)
+        temb = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+        params = blk.init(jax.random.PRNGKey(0), x, temb)
+        L.set_fused_resblock(False)
+        try:
+            want = blk.apply(params, x, temb)
+        finally:
+            L.set_fused_resblock("auto")
+        L.set_fused_resblock(True)
+        try:
+            got = blk.apply(params, x, temb)
+        finally:
+            L.set_fused_resblock("auto")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ddpm_resblock_halo_grads_match(rng):
+    from diffpure_tpu.models import layers as L
+    from diffpure_tpu.models.ddpm_unet import ResnetBlockDDPM
+    blk = ResnetBlockDDPM(out_channels=128)
+    x = jnp.asarray(rng.randn(1, 64, 64, 128).astype(np.float32) * 0.5)
+    temb = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x, temb)
+
+    def loss(xx, tt, fused):
+        L.set_fused_resblock(fused)
+        try:
+            return (blk.apply(params, xx, tt) ** 2).sum()
+        finally:
+            L.set_fused_resblock("auto")
+
+    gf = jax.grad(lambda xx, tt: loss(xx, tt, True), argnums=(0, 1))(x, temb)
+    gr = jax.grad(lambda xx, tt: loss(xx, tt, False), argnums=(0, 1))(x, temb)
+    # dx tight; dtemb sees fwd fp32 rounding amplified through GN stats
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               rtol=1e-3, atol=2e-3)
