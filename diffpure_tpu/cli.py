@@ -203,8 +203,14 @@ def main(argv=None):
                              attack_norm=("l_inf" if args.lp_norm == "Linf"
                                           else "l_2"))
 
-    results = robustness_eval(defended, x, y, key, args.attack_version,
-                              log_dir=log_dir, **attack_kwargs)
+    # runtime NFE ledger: fed by host callbacks where supported, and by
+    # the attacks' program-output counters everywhere (incl. backends that
+    # reject callbacks — the axon case; utils/profiling.py nfe_tally)
+    from diffpure_tpu.utils.profiling import count_nfe
+    with count_nfe() as nfe:
+        results = robustness_eval(defended, x, y, key, args.attack_version,
+                                  log_dir=log_dir, **attack_kwargs)
+    print(nfe.report())
     print(f"results: {results}")
     return results
 

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--standard", action="store_true",
                     help="also run the full AA standard suite (APGD-CE/T, "
                          "FAB-T, Square) through the purifier")
+    ap.add_argument("--large", action="store_true",
+                    help="flagship-scale demo: the full CIFAR-config "
+                         "NCSN++ (107M, nf=128 ch_mult=(1,2,2,2) 8 blocks) "
+                         "trained in-env at 32x32 as the purifier")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -47,6 +51,15 @@ def main():
                                           train_demo_score)
 
     overrides = {"seed": args.seed}
+    if args.large:
+        # the flagship model (configs/cifar10.yml score net) on the 32x32
+        # synthetic distribution; reduced attack budgets per compute cost
+        overrides.update(
+            size=32, score_nf=128, score_ch_mult=(1, 2, 2, 2),
+            score_blocks=8, score_attn=(16,), score_steps=3000,
+            score_batch=128, clf_width=64, clf_steps=1500,
+            clf_train_size=1024, n_eval=32, eot_iter=3, apgd_iter=20,
+            defense_reps=8)
     if args.score_steps:
         overrides["score_steps"] = args.score_steps
     cfg = DemoConfig(**overrides)
