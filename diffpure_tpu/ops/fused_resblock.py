@@ -193,16 +193,40 @@ def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+# Mosaic's scoped-vmem stack limit is 16 MB; the byte estimates below
+# slightly overapproximate the compiler's charge (measured: cat-bwd fp32
+# estimated 20.9 MB vs 18.8 MB charged), so using the cap itself as the
+# fit threshold leaves margin. Configs that do not fit even at bt=1 fall
+# back to the unfused XLA graph (picker returns None) instead of OOMing
+# the remote compile — e.g. the in-env fp32 training path of the 107M
+# CIFAR model, whose widest concat block (cin=384) only fits in bf16.
+_VMEM_HARD_CAP = 16 * 1024 * 1024
+
+
 def _pick_batch_tile(N: int, H: int, W: int, cin: int, cout: int,
-                     vmem_budget: int = 8 * 1024 * 1024) -> int:
-    """Largest tile (<=8) dividing N whose fp32+bf16 working set fits."""
-    per_ex = ((H + 2) * (W + 2) * (cin + cout) * 2        # pad scratches bf16
+                     esize: int = 2,
+                     vmem_budget: int = 12 * 1024 * 1024):
+    """Largest tile (<=8) dividing N whose working set fits the preferred
+    budget; falls back to bt=1 under the hard cap, else None (caller must
+    use the unfused reference). esize = bytes per element of the compute
+    dtype (2 bf16 serving / 4 fp32 — e.g. the in-env score-model training
+    path runs the kernels in fp32).
+
+    Counts everything Mosaic charges against its scoped-vmem cap:
+    pad scratches, fp32 temporaries, the double-buffered x/out operand
+    blocks, and the replicated weight operands (the fp32 overflow case:
+    2 x 9*cin*cout fp32 at C=256 is 4.7 MB on its own). At esize=2 this
+    reproduces the round-2 measured optimum (bt=2 at 32x32x128).
+    """
+    weights = (2 * 9 * cin * cout + cin * cout) * esize
+    per_ex = ((H + 2) * (W + 2) * (cin + cout) * esize    # pad scratches
               + H * W * cin * 4 + 2 * H * W * cout * 4    # x32 + two accs
-              + H * W * max(cin, cout) * 4)               # gn intermediate
+              + H * W * max(cin, cout) * 4                # gn intermediate
+              + H * W * (cin + cout) * esize * 2)         # io double-buffer
     for bt in (8, 4, 2, 1):
-        if N % bt == 0 and bt * per_ex <= vmem_budget:
+        if N % bt == 0 and bt * per_ex + weights <= vmem_budget:
             return bt
-    return 1
+    return 1 if per_ex + weights <= _VMEM_HARD_CAP else None
 
 
 def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
@@ -230,7 +254,13 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
         Ho, Wo = H * 2, W * 2
     else:
         Ho, Wo = H, W
-    bt = _pick_batch_tile(N, max(H, Ho), max(W, Wo), cin, cout)
+    bt = _pick_batch_tile(N, max(H, Ho), max(W, Wo), cin, cout,
+                          esize=jnp.dtype(compute_dtype).itemsize)
+    if bt is None:   # no tile fits scoped vmem (fp32 wide blocks) — unfused
+        return fused_resblock_reference(
+            x, temb_row, params, num_groups1=num_groups1,
+            num_groups2=num_groups2, eps=eps, rescale=rescale,
+            resample=resample)
 
     w0_9 = w0.reshape(9, cin, cout)
     w1_9 = w1.reshape(9, cout, cout)
@@ -377,15 +407,27 @@ def _fused_resblock_bwd_kernel(x_ref, temb_ref, g_ref, gn1s_ref, gn1b_ref,
 
 
 def _pick_batch_tile_bwd(N: int, H: int, W: int, cin: int, cout: int,
-                         vmem_budget: int = 8 * 1024 * 1024) -> int:
-    """Backward working set: two pad scratches + ~4 fp32 feature maps of
-    each width live at peak (x32/a1/dx on cin, c1/g32/d_a2/d_c1 on cout)."""
-    per_ex = ((H + 2) * (W + 2) * (cin + cout) * 2
-              + 4 * H * W * cin * 4 + 4 * H * W * cout * 4)
+                         esize: int = 2,
+                         vmem_budget: int = 8 * 1024 * 1024):
+    """Backward tile, or None when even bt=1 exceeds the scoped-vmem cap
+    (the custom_vjp wrappers then take full XLA autodiff of the reference).
+
+    Working set: the transposed+forward weight stacks (esize-dependent —
+    fp32 doubles them), two pad scratches, the double-buffered in/out
+    operand blocks (dx outputs are fp32), and ~3 cin- + 4 cout-width fp32
+    temporaries live at peak (x32/a1/dx; c1/g32/d_a2/d_c1). At esize=2
+    this keeps the round-3 measured behavior (bt=1 for every CIFAR bf16
+    block, cat included); at esize=4 the widest concat block (cin=384)
+    correctly reports no-fit (compiler charge 18.8 MB > 16 MB cap).
+    """
+    weights = (2 * 9 * cin * cout + 9 * cout * cout + cin * cout) * esize
+    per_ex = ((H + 2) * (W + 2) * (cin + cout) * esize       # pad scratches
+              + 2 * H * W * ((cin + cout) * esize + cin * 4)  # io dbl-buffer
+              + H * W * (3 * cin + 4 * cout) * 4)             # live fp32
     for bt in (8, 4, 2, 1):
-        if N % bt == 0 and bt * per_ex <= vmem_budget:
+        if N % bt == 0 and bt * per_ex + weights <= vmem_budget:
             return bt
-    return 1
+    return 1 if per_ex + weights <= _VMEM_HARD_CAP else None
 
 
 def _flip_transpose_w9(w9: Array) -> Array:
@@ -416,7 +458,9 @@ def fused_resblock_bwd_pallas(x: Array, temb_row: Array, params: Tuple,
         Ho, Wo = H * 2, W * 2
     else:
         Ho, Wo = H, W
-    bt = _pick_batch_tile_bwd(N, max(H, Ho), max(W, Wo), cin, cout)
+    bt = _pick_batch_tile_bwd(N, max(H, Ho), max(W, Wo), cin, cout,
+                              esize=jnp.dtype(compute_dtype).itemsize)
+    assert bt is not None, "caller must check _pick_batch_tile_bwd first"
 
     w0_9 = w0.reshape(9, cin, cout)
     w0t_9 = _flip_transpose_w9(w0_9)
@@ -632,7 +676,13 @@ def fused_resblock_cat_pallas(x1: Array, x2: Array, temb_row: Array,
     assert wskip is not None, "concat blocks always project the skip"
     compute_dtype = x1.dtype if x1.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
-    bt = _pick_batch_tile(N, H, W, cin, cout)
+    bt = _pick_batch_tile(N, H, W, cin, cout,
+                          esize=jnp.dtype(compute_dtype).itemsize)
+    if bt is None:   # no tile fits scoped vmem (fp32 wide blocks) — unfused
+        return fused_resblock_reference(
+            jnp.concatenate([x1, x2], axis=-1), temb_row, params,
+            num_groups1=num_groups1, num_groups2=num_groups2, eps=eps,
+            rescale=rescale)
 
     w0_9 = w0.reshape(9, cin, cout)
     w1_9 = w1.reshape(9, cout, cout)
@@ -837,7 +887,9 @@ def fused_resblock_cat_bwd_pallas(x1: Array, x2: Array, temb_row: Array,
     assert wskip is not None
     compute_dtype = x1.dtype if x1.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
-    bt = _pick_batch_tile_bwd(N, H, W, cin, cout)
+    bt = _pick_batch_tile_bwd(N, H, W, cin, cout,
+                              esize=jnp.dtype(compute_dtype).itemsize)
+    assert bt is not None, "caller must check _pick_batch_tile_bwd first"
 
     w0_9 = w0.reshape(9, cin, cout)
     w0t_9 = _flip_transpose_w9(w0_9)          # (9, cout, cin)
@@ -922,11 +974,38 @@ def _frbc_fwd(x1, x2, temb_row, params, num_groups1, num_groups2, eps,
     return out, (x1, x2, temb_row, params)
 
 
+def _bwd_kernel_fits(x_shape, cout, dtype, resample: str = "none") -> bool:
+    """Whether the Pallas backward kernel's working set fits scoped vmem
+    for this config; when not (fp32 wide blocks — e.g. the in-env fp32
+    training path), the custom_vjp wrappers take full XLA autodiff of the
+    numerically-equivalent reference instead."""
+    N, H, W, cin = x_shape
+    if resample == "down":
+        Ho, Wo = H // 2, W // 2
+    elif resample == "up":
+        Ho, Wo = H * 2, W * 2
+    else:
+        Ho, Wo = H, W
+    cdt = dtype if dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    return _pick_batch_tile_bwd(N, max(H, Ho), max(W, Wo), cin, cout,
+                                esize=jnp.dtype(cdt).itemsize) is not None
+
+
 def _frbc_bwd(num_groups1, num_groups2, eps, rescale, interpret, res, g):
     """Backward: dx1/dx2/dtemb from the Pallas backward kernel; parameter
     cotangents from the unfused reference (DCE'd when unused — attacks
     never differentiate w.r.t. weights)."""
     x1, x2, temb_row, params = res
+    cin = x1.shape[-1] + x2.shape[-1]
+    cout = params[2].shape[-1]
+    if not _bwd_kernel_fits(x1.shape[:3] + (cin,), cout, x1.dtype):
+        def ref_all(x1_, x2_, t_, p_):
+            return fused_resblock_reference(
+                jnp.concatenate([x1_, x2_], axis=-1), t_, p_,
+                num_groups1=num_groups1, num_groups2=num_groups2, eps=eps,
+                rescale=rescale)
+        _, vjp_all = jax.vjp(ref_all, x1, x2, temb_row, params)
+        return vjp_all(g)
     dx1, dx2, dtemb = fused_resblock_cat_bwd_pallas(
         x1, x2, temb_row, params, g, num_groups1=num_groups1,
         num_groups2=num_groups2, eps=eps, rescale=rescale,
@@ -977,6 +1056,15 @@ def _frb_bwd(num_groups1, num_groups2, eps, rescale, interpret, resample,
     reference, which XLA dead-code-eliminates whenever the caller does not
     differentiate w.r.t. the weights (attacks never do)."""
     x, temb_row, params = res
+    cout = params[2].shape[-1]
+    if not _bwd_kernel_fits(x.shape, cout, x.dtype, resample):
+        def ref_all(x_, t_, p_):
+            return fused_resblock_reference(
+                x_, t_, p_, num_groups1=num_groups1,
+                num_groups2=num_groups2, eps=eps, rescale=rescale,
+                resample=resample)
+        _, vjp_all = jax.vjp(ref_all, x, temb_row, params)
+        return vjp_all(g)
     dx, dtemb = fused_resblock_bwd_pallas(
         x, temb_row, params, g, num_groups1=num_groups1,
         num_groups2=num_groups2, eps=eps, rescale=rescale,

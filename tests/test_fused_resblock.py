@@ -332,3 +332,62 @@ class TestModelIntegration:
         assert block_keys is not None
         assert {"GroupNorm_0", "Conv_0", "Dense_0", "GroupNorm_1",
                 "Conv_1"} <= block_keys
+
+
+class TestVmemTilePickers:
+    """Pin the scoped-vmem fit decisions that gate Pallas vs fallback.
+
+    The fp32 no-fit cases reproduce the flagship-scale training OOM
+    (compiler charged 18.8 MB > 16 MB cap for the widest CIFAR concat
+    block's backward at fp32); the bf16 cases pin the measured round-3
+    serving behavior so a picker change that silently de-fuses the attack
+    path fails here first.
+    """
+
+    def test_bf16_cifar_blocks_keep_pallas_bwd(self):
+        from diffpure_tpu.ops.fused_resblock import _pick_batch_tile_bwd
+        # plain 128->128 and the widest concat block (256+128 -> 128)
+        assert _pick_batch_tile_bwd(128, 32, 32, 128, 128, esize=2) == 1
+        assert _pick_batch_tile_bwd(128, 32, 32, 384, 128, esize=2) == 1
+
+    def test_fp32_wide_concat_bwd_falls_back(self):
+        from diffpure_tpu.ops.fused_resblock import _pick_batch_tile_bwd
+        assert _pick_batch_tile_bwd(128, 32, 32, 384, 128, esize=4) is None
+
+    def test_forward_picker_fp32_and_bf16(self):
+        from diffpure_tpu.ops.fused_resblock import _pick_batch_tile
+        # round-2 measured optimum at 32x32x128 bf16
+        assert _pick_batch_tile(128, 32, 32, 128, 128, esize=2) == 2
+        # fp32 wide concat forward still fits at bt=1 (est 14.5 MB < cap)
+        assert _pick_batch_tile(128, 32, 32, 384, 128, esize=4) == 1
+
+    def test_custom_vjp_fallback_grad_matches(self, rng):
+        """When the bwd kernel doesn't fit, the custom_vjp must still
+        produce the reference gradient (full XLA autodiff path)."""
+        from diffpure_tpu.ops import fused_resblock as FR
+        x, temb, params = make_inputs(rng, 128, 128, H=8, N=2)
+        g1 = g2 = 32
+
+        def loss_fused(x_, t_, p_):
+            return jnp.sum(FR.fused_resblock(x_, t_, p_, g1, g2, 1e-6,
+                                             True, True) ** 2)
+
+        def loss_ref(x_, t_, p_):
+            return jnp.sum(FR.fused_resblock_reference(
+                x_, t_, p_, num_groups1=g1, num_groups2=g2) ** 2)
+
+        orig = FR._pick_batch_tile_bwd
+        FR._pick_batch_tile_bwd = lambda *a, **k: None  # force fallback
+        try:
+            gx, gt, gp = jax.grad(loss_fused, argnums=(0, 1, 2))(
+                x, temb, params)
+        finally:
+            FR._pick_batch_tile_bwd = orig
+        wx, wt, wp = jax.grad(loss_ref, argnums=(0, 1, 2))(x, temb, params)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(wx),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(wt),
+                                   rtol=2e-4, atol=2e-4)
+        for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(wp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
