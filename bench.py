@@ -138,6 +138,35 @@ def bench_adm256():
     return dt, compile_s
 
 
+GRAD_BATCH = 16
+
+
+def bench_cifar_grad():
+    """Gradient through the full purifier (the attack path — what AA/BPDA
+    chip-hours actually pay for; docs/GRADIENTS.md): grad of sum(purify)
+    at t*=100 via checkpoint-exact backprop, bf16, batch 16. Round 3's
+    fused Pallas backward kernels serve the dx path."""
+    from diffpure_tpu.models.ncsnpp import NCSNpp
+    from diffpure_tpu.purify import PurifyConfig, purify
+
+    model = NCSNpp(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x_img = jax.random.uniform(key, (GRAD_BATCH, 32, 32, 3)) * 2 - 1
+    params = model.init(jax.random.fold_in(key, 1),
+                        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+    cfg = PurifyConfig(diffusion_type="sde", t=T_STAR,
+                       score_type="score_sde", grad_mode="checkpoint")
+
+    @jax.jit
+    def run(params, x, k):
+        g = jax.grad(lambda xx: jnp.float32(purify(
+            lambda p, a, t: model.apply(p, a, t), params, xx, k,
+            cfg).sum()))(x)
+        return jnp.float32(jnp.abs(g).sum())
+
+    return _timed(run, params, x_img, key)
+
+
 CELEBA_BATCH = 2
 CELEBA_T_STAR = 50  # ms/eval is what matters; the protocol runs t*=500
 
@@ -202,6 +231,18 @@ def main():
         }
     except Exception as e:  # secondary workloads must not kill the headline
         workloads["cifar_dpmpp_20nfe"] = {"error": repr(e)[:200]}
+
+    # --- gradient through purify (the attack path, docs/GRADIENTS.md) ---
+    try:
+        dt, compile_s = bench_cifar_grad()
+        workloads["cifar_grad_of_purify_t100"] = {
+            "grad_img_per_sec_per_chip": round(GRAD_BATCH / dt / n_chips, 2),
+            "s_per_grad_img": round(dt / GRAD_BATCH, 4),
+            "batch": GRAD_BATCH,
+            "compile_s": round(compile_s, 1),
+        }
+    except Exception as e:
+        workloads["cifar_grad_of_purify_t100"] = {"error": repr(e)[:200]}
 
     # --- ImageNet-256 ADM t*=150 (the north-star's second axis) ---------
     try:
