@@ -193,40 +193,57 @@ def _fused_resblock_kernel(x_ref, temb_ref, gn1s_ref, gn1b_ref, w0_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-# Mosaic's scoped-vmem stack limit is 16 MB; the byte estimates below
-# slightly overapproximate the compiler's charge (measured: cat-bwd fp32
-# estimated 20.9 MB vs 18.8 MB charged), so using the cap itself as the
-# fit threshold leaves margin. Configs that do not fit even at bt=1 fall
-# back to the unfused XLA graph (picker returns None) instead of OOMing
-# the remote compile — e.g. the in-env fp32 training path of the 107M
-# CIFAR model, whose widest concat block (cin=384) only fits in bf16.
+# Mosaic's scoped-vmem stack limit is 16 MB. The byte models below are
+# CALIBRATED against the compiler's actual charges on this chip family
+# (two measured OOMs: fwd 16x16 128->256 fp32 bt=4 charged 17.83 MB, the
+# model says 17.7; cat-bwd 32x32 384->128 fp32 bt=1 charged 18.8, model
+# 23.1 — conservative), and against every config known to compile (the
+# bf16 serving set and the fp32 training set all estimate <= 16 MB at the
+# tiles they shipped with). Key empirical facts the models encode:
+# replicated weight operands are charged DOUBLE-buffered like the blocked
+# io, and ~2*cin + 4*cout fp32 feature maps are live at the forward peak.
+# Configs that do not fit even at bt=1 report None and the wrappers fall
+# back to the unfused XLA graph instead of OOMing the remote compile —
+# e.g. parts of the fp32 (reference-faithful precision) path of the 107M
+# CIFAR model, which only fully fuses in bf16.
 _VMEM_HARD_CAP = 16 * 1024 * 1024
 
 
-def _pick_batch_tile(N: int, H: int, W: int, cin: int, cout: int,
-                     esize: int = 2,
-                     vmem_budget: int = 12 * 1024 * 1024):
-    """Largest tile (<=8) dividing N whose working set fits the preferred
-    budget; falls back to bt=1 under the hard cap, else None (caller must
-    use the unfused reference). esize = bytes per element of the compute
-    dtype (2 bf16 serving / 4 fp32 — e.g. the in-env score-model training
-    path runs the kernels in fp32).
+def _pick_tile(N: int, weights: int, per_ex: int, preferred: int):
+    """Shared tile chooser: largest tile (<=8) dividing N within the
+    preferred budget (single-copy weights — the perf heuristic), then
+    verified/stepped-down against the hard cap with double-buffered
+    weights (the OOM model); None when even bt=1 exceeds the cap."""
+    bt = 1
+    for cand in (8, 4, 2):
+        if N % cand == 0 and cand * per_ex + weights <= preferred:
+            bt = cand
+            break
+    while bt >= 1 and bt * per_ex + 2 * weights > _VMEM_HARD_CAP:
+        bt //= 2
+    return bt if bt >= 1 else None
 
-    Counts everything Mosaic charges against its scoped-vmem cap:
-    pad scratches, fp32 temporaries, the double-buffered x/out operand
-    blocks, and the replicated weight operands (the fp32 overflow case:
-    2 x 9*cin*cout fp32 at C=256 is 4.7 MB on its own). At esize=2 this
-    reproduces the round-2 measured optimum (bt=2 at 32x32x128).
+
+def _pick_batch_tile(N: int, H: int, W: int, cin: int, cout: int,
+                     esize: int = 2, has_skip: bool = True,
+                     cat: bool = False,
+                     vmem_budget: int = 12 * 1024 * 1024):
+    """Forward-kernel batch tile, or None (caller must use the unfused
+    reference). esize = bytes per element of the compute dtype (2 bf16
+    serving / 4 fp32 reference-faithful precision). At esize=2 this
+    reproduces the round-2 measured optimum (bt=2 at 32x32x128) and every
+    shipping bf16 tile choice.
     """
-    weights = (2 * 9 * cin * cout + cin * cout) * esize
+    weights = (9 * cin * cout + 9 * cout * cout
+               + (cin * cout if has_skip else 0)) * esize
+    # live fp32 maps at peak: x32 + gn-out on cin, acc/h2/acc2(+xs) on cout
+    # (the cat kernel normalizes straight into the pad scratch: one cin map)
+    temps = (cin + 4 * cout) if cat else \
+        (2 * cin + (4 if has_skip else 3) * cout)
     per_ex = ((H + 2) * (W + 2) * (cin + cout) * esize    # pad scratches
-              + H * W * cin * 4 + 2 * H * W * cout * 4    # x32 + two accs
-              + H * W * max(cin, cout) * 4                # gn intermediate
-              + H * W * (cin + cout) * esize * 2)         # io double-buffer
-    for bt in (8, 4, 2, 1):
-        if N % bt == 0 and bt * per_ex + weights <= vmem_budget:
-            return bt
-    return 1 if per_ex + weights <= _VMEM_HARD_CAP else None
+              + 2 * H * W * (cin + cout) * esize          # io double-buffer
+              + H * W * temps * 4)
+    return _pick_tile(N, weights, per_ex, vmem_budget)
 
 
 def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
@@ -255,7 +272,8 @@ def fused_resblock_pallas(x: Array, temb_row: Array, params: Tuple,
     else:
         Ho, Wo = H, W
     bt = _pick_batch_tile(N, max(H, Ho), max(W, Wo), cin, cout,
-                          esize=jnp.dtype(compute_dtype).itemsize)
+                          esize=jnp.dtype(compute_dtype).itemsize,
+                          has_skip=has_skip_proj)
     if bt is None:   # no tile fits scoped vmem (fp32 wide blocks) — unfused
         return fused_resblock_reference(
             x, temb_row, params, num_groups1=num_groups1,
@@ -677,7 +695,8 @@ def fused_resblock_cat_pallas(x1: Array, x2: Array, temb_row: Array,
     compute_dtype = x1.dtype if x1.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
     bt = _pick_batch_tile(N, H, W, cin, cout,
-                          esize=jnp.dtype(compute_dtype).itemsize)
+                          esize=jnp.dtype(compute_dtype).itemsize,
+                          cat=True)
     if bt is None:   # no tile fits scoped vmem (fp32 wide blocks) — unfused
         return fused_resblock_reference(
             jnp.concatenate([x1, x2], axis=-1), temb_row, params,

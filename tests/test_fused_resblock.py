@@ -358,8 +358,19 @@ class TestVmemTilePickers:
         from diffpure_tpu.ops.fused_resblock import _pick_batch_tile
         # round-2 measured optimum at 32x32x128 bf16
         assert _pick_batch_tile(128, 32, 32, 128, 128, esize=2) == 2
-        # fp32 wide concat forward still fits at bt=1 (est 14.5 MB < cap)
-        assert _pick_batch_tile(128, 32, 32, 384, 128, esize=4) == 1
+        # fp32 wide concat forward still fits at bt=1 (est 15.3 MB < cap;
+        # the cat kernel normalizes into the pad scratch, saving one
+        # cin-wide fp32 map vs the plain kernel)
+        assert _pick_batch_tile(128, 32, 32, 384, 128, esize=4,
+                                cat=True) == 1
+
+    def test_forward_picker_fp32_oom_shape_steps_down(self):
+        """The flagship fp32 demo OOM: 16x16 128->256 at bt=4 was charged
+        17.83 MB by Mosaic (> 16 MB cap). The calibrated model estimates
+        17.7 MB at bt=4 and must step down to bt=2 (est 12.5 MB)."""
+        from diffpure_tpu.ops.fused_resblock import _pick_batch_tile
+        bt = _pick_batch_tile(32, 16, 16, 128, 256, esize=4)
+        assert bt is not None and bt <= 2
 
     def test_custom_vjp_fallback_grad_matches(self, rng):
         """When the bwd kernel doesn't fit, the custom_vjp must still
