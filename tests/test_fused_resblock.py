@@ -364,6 +364,33 @@ class TestVmemTilePickers:
         assert _pick_batch_tile(128, 32, 32, 384, 128, esize=4,
                                 cat=True) == 1
 
+    def test_bf16_serving_tile_choices_pinned(self):
+        """Every distinct resblock shape in the flagship CIFAR NCSN++
+        (nf=128, ch_mult=(1,2,2,2), 8 blocks) at the b128 bf16 serving
+        batch — the driver-benched path. A picker change that alters any
+        of these re-times the headline; this test makes that loud."""
+        from diffpure_tpu.ops.fused_resblock import _pick_batch_tile
+        expected = {
+            # (H, cin, cout, has_skip, cat): bt
+            (32, 128, 128, False, False): 2,
+            (32, 128, 256, True, False): 1,
+            (16, 128, 256, True, False): 4,
+            (16, 256, 256, False, False): 4,
+            (8, 256, 256, False, False): 8,
+            (4, 256, 256, False, False): 8,
+            (4, 512, 256, True, True): 8,
+            (8, 512, 256, True, True): 8,
+            (8, 384, 256, True, True): 8,
+            (16, 512, 256, True, True): 2,
+            (16, 384, 256, True, True): 2,
+            (32, 384, 128, True, True): 1,
+            (32, 256, 128, True, True): 2,
+        }
+        for (h, ci, co, sk, cat), want in expected.items():
+            got = _pick_batch_tile(128, h, h, ci, co, esize=2,
+                                   has_skip=sk, cat=cat)
+            assert got == want, (h, ci, co, sk, cat, got, want)
+
     def test_forward_picker_fp32_oom_shape_steps_down(self):
         """The flagship fp32 demo OOM: 16x16 128->256 at bt=4 was charged
         17.83 MB by Mosaic (> 16 MB cap). The calibrated model estimates
