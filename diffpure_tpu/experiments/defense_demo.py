@@ -75,6 +75,11 @@ class DemoConfig:
     eot_iter: int = 5          # EOT reps for APGD through the purifier
     apgd_iter: int = 50
     defense_reps: int = 8      # stochastic-defense vote for accuracy numbers
+    # >0: bound APGD-through-the-purifier to this many iterations per
+    # device dispatch. Required at flagship scale on the remote backend:
+    # one 20-iter x EOT3 dispatch of the 107M fp32 purifier runs ~8 min
+    # and the execution watchdog kills the worker mid-attack.
+    apgd_dispatch: int = 0
     seed: int = 0
 
 
@@ -244,7 +249,8 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
             t0 = time.time()
             acfg = APGDConfig(norm="Linf", eps=cfg.eps,
                               n_iter=cfg.apgd_iter, eot_iter=cfg.eot_iter,
-                              loss="ce")
+                              loss="ce",
+                              iters_per_dispatch=cfg.apgd_dispatch)
             x_adv, _found = apgd_attack(defended, x01, y,
                                         jax.random.fold_in(key, 12), acfg)
             (res["robust_acc_apgd_eot"],

@@ -59,7 +59,7 @@ def main():
             score_blocks=8, score_attn=(16,), score_steps=3000,
             score_batch=128, clf_width=64, clf_steps=1500,
             clf_train_size=1024, n_eval=32, eot_iter=3, apgd_iter=20,
-            defense_reps=8)
+            defense_reps=8, apgd_dispatch=1)
     if args.score_steps:
         overrides["score_steps"] = args.score_steps
     cfg = DemoConfig(**overrides)
@@ -68,11 +68,38 @@ def main():
           f"({getattr(jax.devices()[0], 'device_kind', '?')})", flush=True)
 
     t0 = time.time()
-    clf, clf_params = train_demo_classifier(cfg)
-    print(f"classifier trained ({time.time() - t0:.0f}s)", flush=True)
+    os.makedirs(args.out, exist_ok=True)
+    cache = os.path.join(args.out, "trained_weights.pkl")
+    if os.path.exists(cache):
+        # resume a crashed protocol run without retraining (the models
+        # rebuild deterministically from cfg; only params are cached)
+        import pickle
 
-    score_model, score_params = train_demo_score(
-        cfg, log=lambda s: print(s, flush=True))
+        from diffpure_tpu.classifiers.small_cnn import SmallCNN
+        from diffpure_tpu.models.ncsnpp import NCSNpp
+        with open(cache, "rb") as f:
+            blob = pickle.load(f)
+        assert blob["config"] == dataclasses.asdict(cfg), \
+            f"cache {cache} was trained under a different DemoConfig"
+        clf = SmallCNN(n_classes=cfg.n_classes, width=cfg.clf_width)
+        score_model = NCSNpp(
+            image_size=cfg.size, nf=cfg.score_nf,
+            ch_mult=cfg.score_ch_mult, num_res_blocks=cfg.score_blocks,
+            attn_resolutions=cfg.score_attn, num_scales=1000, dropout=0.0)
+        clf_params, score_params = blob["clf"], blob["score"]
+        print(f"loaded trained weights from {cache}", flush=True)
+    else:
+        clf, clf_params = train_demo_classifier(cfg)
+        print(f"classifier trained ({time.time() - t0:.0f}s)", flush=True)
+
+        score_model, score_params = train_demo_score(
+            cfg, log=lambda s: print(s, flush=True))
+        import pickle
+        with open(cache, "wb") as f:
+            pickle.dump({"config": dataclasses.asdict(cfg),
+                         "clf": jax.device_get(clf_params),
+                         "score": jax.device_get(score_params)}, f)
+        print(f"trained weights cached to {cache}", flush=True)
 
     dtypes = ("sde", "dpm") if args.dpm else ("sde",)
     attacks = ["apgd-eot", "bpda"]
