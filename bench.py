@@ -26,6 +26,15 @@ import jax.numpy as jnp
 
 REFERENCE_IMGS_PER_SEC_V100 = 10.0
 
+# ImageNet-256 denominator (the north star's second axis, BASELINE.json):
+# paper-era torch-eager V100 estimate for the reference ADM purification
+# (t*=150 x 2.39 TFLOP/img/eval = 358 TFLOP per purified image; fp16
+# torso on V100 at the ~30% eager MFU the CIFAR denominator assumes
+# -> ~9.6 s/img, i.e. ~0.10 img/s per V100 at the protocol's batch 4).
+# Derivation + HBM cross-check in BASELINE.md / docs/PERF.md; re-derive
+# on real reference hardware when available.
+ADM_REFERENCE_IMGS_PER_SEC_V100 = 0.10
+
 BATCH = 128
 T_STAR = 100
 
@@ -136,6 +145,46 @@ def bench_adm256():
 
     dt, compile_s = _timed(run, params, x, key)
     return dt, compile_s
+
+
+ADM_GRAD_BATCH = 2
+ADM_GRAD_T_STAR = 150
+
+
+def bench_adm256_grad():
+    """White-box gradient through the ImageNet-256 purifier — the
+    reference's actual ImageNet AutoAttack protocol: --diffusion_type sde
+    with the guided_diffusion score, APGD-EOT gradients THROUGH the 552M
+    ADM over a t*=150 reverse VP-SDE (ref run_scripts/imagenet/
+    run_in_rand_inf.sh:15-24, eval_sde_adv.py:103-110,
+    runners/diffpure_sde.py:101-112,236-238). Checkpoint-exact backprop
+    through all 150 remat'd evals at 256x256, bf16."""
+    from diffpure_tpu.models.adm_unet import ADMUNet, imagenet256_config
+    from diffpure_tpu.purify import PurifyConfig, purify
+
+    key = jax.random.PRNGKey(0)
+    model = ADMUNet(**imagenet256_config(use_bf16=True))
+    params = jax.eval_shape(lambda: model.init(
+        key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32)))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params)
+    n_params = _param_count(params)
+    assert n_params == ADM_EXPECTED_PARAMS, (
+        f"benched ADM UNet has {n_params} params != imagenet256_config")
+
+    cfg = PurifyConfig(diffusion_type="sde", t=ADM_GRAD_T_STAR,
+                       score_type="guided_diffusion",
+                       grad_mode="checkpoint")
+    x = jax.random.uniform(key, (ADM_GRAD_BATCH, 256, 256, 3)) * 2 - 1
+
+    @jax.jit
+    def run(params, xx, k):
+        g = jax.grad(lambda a: jnp.float32(purify(
+            lambda p, b, t: model.apply(p, b, t), params, a, k,
+            cfg).sum()))(xx)
+        return jnp.float32(jnp.abs(g).sum())
+
+    return _timed(run, params, x, key, n_iters=1)
 
 
 GRAD_BATCH = 16
@@ -249,12 +298,27 @@ def main():
         dt, compile_s = bench_adm256()
         workloads["imagenet256_adm_t150"] = {
             "img_per_sec_per_chip": round(ADM_BATCH / dt / n_chips, 3),
+            "vs_baseline": round(ADM_BATCH / dt / n_chips
+                                 / ADM_REFERENCE_IMGS_PER_SEC_V100, 2),
             "ms_per_unet_eval": round(dt / ADM_T_STAR * 1e3, 1),
             "batch": ADM_BATCH,
             "compile_s": round(compile_s, 1),
         }
     except Exception as e:
         workloads["imagenet256_adm_t150"] = {"error": repr(e)[:200]}
+
+    # --- ImageNet-256 white-box gradient (the reference ImageNet AA path)
+    try:
+        dt, compile_s = bench_adm256_grad()
+        workloads["imagenet256_grad_of_purify_t150"] = {
+            "s_per_grad_img": round(dt / ADM_GRAD_BATCH, 2),
+            "grad_img_per_sec_per_chip": round(
+                ADM_GRAD_BATCH / dt / n_chips, 4),
+            "batch": ADM_GRAD_BATCH,
+            "compile_s": round(compile_s, 1),
+        }
+    except Exception as e:
+        workloads["imagenet256_grad_of_purify_t150"] = {"error": repr(e)[:200]}
 
     # --- CelebA-HQ DDPM-256 (the t*=500 BPDA protocol's UNet) -----------
     try:

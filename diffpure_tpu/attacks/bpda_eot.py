@@ -56,6 +56,11 @@ def _rep_predict(purify_fn: PurifyFn, classify_fn: ClassifyFn, x: Array,
         n = min(chunk, reps - done)
         x_rep = jnp.tile(x, (n, 1, 1, 1))
         k = jax.random.fold_in(key, r)
+        # NFE accounting assumes purify_fn is UNJITTED (DefendedModel.purify
+        # retraces per host call, so the trace-time tally sees every
+        # execution). A jit-cached purify_fn would record nothing on cache
+        # hits and silently undercount defense-prediction NFE — thread the
+        # count as a program output (as _attack_grad does) before caching.
         with nfe_tally() as tly:
             purified = purify_fn(x_rep, k)
         absorb_nfe(tly.phases, tly.total)  # host-level call: 1 execution

@@ -53,6 +53,11 @@ class DemoConfig:
     n_classes: int = 4
     amp_min: float = 0.2      # low amplitude = small-margin (fragile) regime
     amp_max: float = 0.4
+    # distribution hardness knobs (the --hard de-saturated variant raises
+    # freq + class count so t*=100 purification can no longer restore the
+    # class signal perfectly and defended accuracy leaves the 100% ceiling)
+    freq: float = 2.0
+    noise_std: float = 0.04
     # classifier (standard, non-robust training on a finite sample)
     clf_width: int = 32
     clf_steps: int = 1200
@@ -85,7 +90,8 @@ class DemoConfig:
 
 def demo_spec(cfg: DemoConfig) -> SyntheticSpec:
     return SyntheticSpec(size=cfg.size, n_classes=cfg.n_classes,
-                         amp_range=(cfg.amp_min, cfg.amp_max))
+                         amp_range=(cfg.amp_min, cfg.amp_max),
+                         freq=cfg.freq, noise_std=cfg.noise_std)
 
 
 def _keys(cfg: DemoConfig):
@@ -155,8 +161,10 @@ def train_demo_score(cfg: DemoConfig, key: Optional[Array] = None,
 def build_demo_defended(cfg: DemoConfig, score_model, score_params,
                         clf, clf_params, *, diffusion_type: str = "sde",
                         n_steps: Optional[int] = None,
-                        grad_mode: str = "checkpoint") -> DefendedModel:
-    pcfg = PurifyConfig(diffusion_type=diffusion_type, t=cfg.t_star,
+                        grad_mode: str = "checkpoint",
+                        t_star: Optional[int] = None) -> DefendedModel:
+    pcfg = PurifyConfig(diffusion_type=diffusion_type,
+                        t=cfg.t_star if t_star is None else t_star,
                         n_steps=n_steps, score_type="score_sde",
                         grad_mode=grad_mode)
     return DefendedModel(
@@ -165,6 +173,54 @@ def build_demo_defended(cfg: DemoConfig, score_model, score_params,
         classifier_fn=lambda p, x01: clf.apply(p, x01),
         classifier_params=clf_params,
         purify_cfg=pcfg, log_every=0)
+
+
+def run_dose_response(cfg: DemoConfig, score_model, score_params, clf,
+                      clf_params, *, t_values=(0, 5, 25, 100),
+                      log=print) -> dict:
+    """Attack-power calibration (the de-saturation check): white-box
+    APGD-EOT through the purifier at several t*, expecting defended robust
+    accuracy to COLLAPSE to the undefended level as t* -> 0.
+
+    A saturated 100%-defended protocol cannot distinguish "the defense
+    works" from "the attack through the purifier is broken" — a
+    gradient-masking bug in the purifier VJP would also read 100%. The
+    t* -> 0 limit removes the defense while keeping the entire
+    attack-through-the-purifier machinery in place (t*=0 is the identity
+    purifier = the bare classifier), so a collapse to the undefended
+    number is direct evidence the white-box attack wins when it should
+    (ref measurement semantics: eval_sde_adv.py:211-243).
+    """
+    from diffpure_tpu.attacks.apgd import APGDConfig, apgd_attack
+
+    key = jax.random.fold_in(_keys(cfg), 4)
+    spec = demo_spec(cfg)
+    x, y = sample_batch(jax.random.fold_in(key, 0), cfg.n_eval, spec)
+    x01 = (x + 1.0) * 0.5
+
+    acfg = APGDConfig(norm="Linf", eps=cfg.eps, n_iter=cfg.apgd_iter,
+                      eot_iter=cfg.eot_iter, loss="ce",
+                      iters_per_dispatch=cfg.apgd_dispatch)
+    curve = {}
+    for t_star in t_values:
+        t0 = time.time()
+        if t_star == 0:
+            # identity purifier: the same attack code path, defense absent
+            defended = lambda x01_, k: clf.apply(clf_params, x01_)  # noqa: E731
+        else:
+            defended = build_demo_defended(cfg, score_model, score_params,
+                                           clf, clf_params,
+                                           t_star=int(t_star))
+        x_adv, _ = apgd_attack(defended, x01, y,
+                               jax.random.fold_in(key, 100 + t_star), acfg)
+        vote, single = _vote_acc(defended, x_adv, y,
+                                 jax.random.fold_in(key, 200 + t_star),
+                                 cfg.defense_reps if t_star else 1)
+        curve[int(t_star)] = {"robust_acc": vote,
+                              "robust_acc_single": single}
+        log(f"[dose-response] t*={t_star}: defended robust {vote:.2%} "
+            f"({time.time() - t0:.0f}s)")
+    return curve
 
 
 def _vote_acc(model_fn, x01, y, key, reps: int):
@@ -271,8 +327,10 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
                 AutoAttackConfig(version="standard", eps=cfg.eps,
                                  n_iter=cfg.apgd_iter,
                                  eot_iter=1, square_n_queries=300,
-                                 fab_n_target_classes=cfg.n_classes - 1,
-                                 apgd_t_n_target_classes=cfg.n_classes - 1),
+                                 fab_n_target_classes=min(
+                                     cfg.n_classes - 1, 3),
+                                 apgd_t_n_target_classes=min(
+                                     cfg.n_classes - 1, 3)),
                 log_fn=lambda s: log(f"  [aa-std] {s}"))
             _, rob_std = aa_std.run_standard_evaluation(
                 x01, y, jax.random.fold_in(key, 15))

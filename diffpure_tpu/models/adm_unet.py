@@ -164,8 +164,12 @@ class ResBlockADM(nn.Module):
                                  and self.out_channels % 128 == 0)
         # weight operands are replicated into VMEM: the up-path concat
         # blocks (in_ch up to 1536) would blow the 16 MB scoped-vmem limit
-        # on their 9*cin*cout kernel alone — those keep the tiled-GN path
-        weights_fit = (9 * in_ch * self.out_channels * 2
+        # on their 9*cin*cout kernel alone — those keep the tiled-GN path.
+        # Charge at the block's actual compute-dtype itemsize (fp32 runs
+        # double the bf16 estimate); _pick_tile_halo additionally returns
+        # None past the hard cap so the kernel wrapper de-fuses safely.
+        esize = 2 if self.dtype == jnp.bfloat16 else 4
+        weights_fit = (9 * in_ch * self.out_channels * esize
                        <= 6 * 1024 * 1024)
         if (_HALO_CONV and tiled and lanes_ok and weights_fit
                 and not (self.up or self.down)

@@ -42,9 +42,25 @@ def _group_onehot_inkernel(C: int, G: int):
     return ((c_ids // (C // G)) == g_ids).astype(jnp.float32)
 
 
+# Measurement-only switch (scripts/perf_residual.py): replace GroupNorm
+# statistics with a pure affine so a full-model config-delta isolates the
+# in-situ cost of GN stats + their serialization with the conv matmuls
+# (docs/PERF.md residual attribution). NEVER enabled on serving paths —
+# it changes numerics.
+_PERF_SKIP_GN_STATS = False
+
+
+def set_perf_skip_gn_stats(enable: bool) -> None:
+    global _PERF_SKIP_GN_STATS
+    _PERF_SKIP_GN_STATS = enable
+
+
 def _gn_silu_inkernel(x32, scale, bias, C, G, n, eps):
     """GroupNorm (+SiLU) on an fp32 (bt, H, W, C) VMEM tensor via one-hot
     matmuls; returns fp32."""
+    if _PERF_SKIP_GN_STATS:  # perf probe only: affine+SiLU, no stats
+        h = x32 * scale[None, None, None, :] + bias[None, None, None, :]
+        return h * jax.nn.sigmoid(h)
     M = _group_onehot_inkernel(C, G)
     MT = M.T
     sums = jnp.sum(x32, axis=(1, 2))            # (bt, C)
@@ -445,6 +461,14 @@ def _pick_batch_tile_bwd(N: int, H: int, W: int, cin: int, cout: int,
     for bt in (8, 4, 2, 1):
         if N % bt == 0 and bt * per_ex + weights <= vmem_budget:
             return bt
+    # Deliberately charges weights SINGLE-buffered, unlike _pick_tile's
+    # forward model: the bf16 widest concat block (32x32 384->128) measures
+    # per_ex + 1w = 15.3 MB and COMPILES on the chip at bt=1 (round-3
+    # shipping config), while a 2w charge (17.4 MB) would wrongly declare
+    # it no-fit and drop its fused backward; the fp32 no-fit case is
+    # captured either way (measured compiler charge 18.8 MB). The backward
+    # kernel's weight stacks evidently aren't double-charged the way the
+    # forward's are — trust the measured compiles over model symmetry.
     return 1 if per_ex + weights <= _VMEM_HARD_CAP else None
 
 

@@ -31,19 +31,27 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+_VMEM_HARD_CAP = 16 * 1024 * 1024  # Mosaic scoped-vmem limit on this chip
+
+
 def _pick_tile_halo(H: int, W: int, cin: int, cout: int, cr: int,
                     esize: int = 2,
-                    budget: int = 11 * 1024 * 1024) -> int:
-    """Largest row-tile dividing H whose working set fits the VMEM budget.
+                    budget: int = 11 * 1024 * 1024):
+    """Largest row-tile dividing H whose working set fits the VMEM budget,
+    or None when even th=1 exceeds Mosaic's 16 MB scoped-vmem cap (the
+    wrapper then falls back to the unfused XLA reference instead of
+    OOMing the remote compile).
 
     The budget must cover the replicated weight operands (dominant at
     C=512+: 9*cin*cout), the raw/activation scratches, the fp32 normalize
     temporary, the fp32 accumulator, the skip tile, and the double-buffered
-    output block — Mosaic's scoped-vmem limit on this chip is 16 MB and
-    under-counting OOMs at compile time. esize = bytes per element of the
-    compute dtype (2 bf16 / 4 fp32 — the CelebA path is fp32 by default).
+    output block. esize = bytes per element of the compute dtype (2 bf16 /
+    4 fp32 — the CelebA path is fp32 by default). The hard-cap check
+    charges replicated weights double-buffered, matching the calibrated
+    model in ops/fused_resblock.py.
     """
     weights = (9 * cin * cout + cr * cout) * esize
+    hard_fit = None
     for th in (128, 64, 32, 16, 8, 4, 2, 1):
         if H % th != 0:
             continue
@@ -53,9 +61,13 @@ def _pick_tile_halo(H: int, W: int, cin: int, cout: int, cr: int,
                + th * W * cout * 4              # fp32 accumulator
                + th * W * cout * esize * 2      # double-buffered out block
                + th * W * cr * esize * 2)       # skip tile, double-buffered
+        if per + 2 * weights > _VMEM_HARD_CAP:
+            continue
+        if hard_fit is None:
+            hard_fit = th
         if per + weights <= budget:
             return th
-    return 1
+    return hard_fit
 
 
 def _halo_conv_kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, skip_hbm,
@@ -76,34 +88,34 @@ def _halo_conv_kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, skip_hbm,
     # --- double-buffered HBM streaming ----------------------------------
     # Manual-DMA operands are not auto-pipelined by Pallas: each tile's
     # copies are issued one grid step AHEAD (into the other buffer slot)
-    # so they overlap the current tile's compute. Out-of-image halo rows
-    # are never copied; the compute masks them to zero (SAME padding pads
-    # the activation).
+    # so they overlap the current tile's compute. The halo copies run
+    # UNCONDITIONALLY, with out-of-image sources clamped to a valid row
+    # (jnp.maximum/minimum below) and the compute masking those rows to
+    # zero — conditional start/wait under pl.when left Mosaic logging an
+    # "AsyncCopyDescriptor was not used" ERROR per boundary tile on the
+    # real chip (round-3 bench tail), and a duplicated 1-row copy per
+    # example is far cheaper than ambiguous DMA semantics.
     def copies(bb, tt, s):
-        """Build (descriptor, active) pairs for tile tt into slot s."""
+        """Async-copy descriptors for tile tt into slot s."""
         row0 = tt * th
-        out = [(pltpu.make_async_copy(
+        out = [pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(row0, th)],
-            xraw_ref.at[s, pl.ds(1, th)], sem.at[s]), None)]
-        out.append((pltpu.make_async_copy(
+            xraw_ref.at[s, pl.ds(1, th)], sem.at[s])]
+        out.append(pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(jnp.maximum(row0 - 1, 0), 1)],
-            xraw_ref.at[s, pl.ds(0, 1)], sem_top.at[s]), tt > 0))
-        out.append((pltpu.make_async_copy(
+            xraw_ref.at[s, pl.ds(0, 1)], sem_top.at[s]))
+        out.append(pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(jnp.minimum(row0 + th, H - 1), 1)],
-            xraw_ref.at[s, pl.ds(th + 1, 1)], sem_bot.at[s]), tt < T - 1))
+            xraw_ref.at[s, pl.ds(th + 1, 1)], sem_bot.at[s]))
         if has_skip:
-            out.append((pltpu.make_async_copy(
+            out.append(pltpu.make_async_copy(
                 skip_hbm.at[bb, pl.ds(row0, th)], skip_ref.at[s],
-                sem_skip.at[s]), None))
+                sem_skip.at[s]))
         return out
 
     def run_copies(bb, tt, s, op):
-        for desc, active in copies(bb, tt, s):
-            fn = desc.start if op == "start" else desc.wait
-            if active is None:
-                fn()
-            else:
-                pl.when(active)(fn)
+        for desc in copies(bb, tt, s):
+            (desc.start if op == "start" else desc.wait)()
 
     @pl.when(t == 0)
     def _():                       # prime the pipeline for this example
@@ -172,6 +184,12 @@ def gn_silu_conv3x3_halo_pallas(
     out_dtype = out_dtype or x.dtype
     th = _pick_tile_halo(H, W, cin, cout, cr if has_skip else 0,
                          esize=jnp.dtype(compute_dtype).itemsize)
+    if th is None:
+        # no tile fits Mosaic's scoped-vmem cap (e.g. wide fp32 blocks):
+        # run the numerically-identical unfused XLA graph instead of
+        # OOMing the remote compile
+        return gn_silu_conv3x3_reference(x, A, B, w, bias, skip=skip,
+                                         w_proj=w_proj, out_dtype=out_dtype)
 
     # weights enter VMEM replicated — keep them in the compute dtype
     # (matches nn.Conv's dtype= cast; an fp32 9*cin*cout operand at C=512
@@ -194,13 +212,13 @@ def gn_silu_conv3x3_halo_pallas(
         kernel,
         grid=(N, H // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # x stays in HBM
             pl.BlockSpec((1, 1, cin), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cin), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             full(9, cin, cout), full(1, cout),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # skip stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # skip stays in HBM
             full(cr, cout),
         ],
         out_specs=pl.BlockSpec((1, th, W, cout), lambda b, t: (b, t, 0, 0),
@@ -289,9 +307,14 @@ def gn_silu_conv_block(x: Array, gn_scale: Array, gn_bias: Array,
     pre_shift (N, C): additive per-channel shift before the GN (the DDPM
     timestep-embedding add), folded into the affine exactly — never
     materialized over the feature map. Differentiable: the backward is
-    XLA autodiff of the jnp reference (the 256px purifiers run under
-    BPDA/no-grad in the reference protocol, so the backward is cold;
-    exactness is what matters)."""
+    XLA autodiff of the jnp reference — exact, but not kernel-fused.
+    Backward heat by protocol: CelebA-HQ runs BPDA only (no grad through
+    the purifier, ref diffpure_ddpm.py:103), but the reference's ImageNet
+    AutoAttack protocol differentiates THROUGH the ADM sde purifier
+    (ref run_scripts/imagenet/run_in_rand_inf.sh:15-24,
+    eval_sde_adv.py:103-110), so this backward IS on that attack's hot
+    path — its measured cost vs the fused forward is documented in
+    docs/GRADIENTS.md (256px section)."""
     return _gn_conv_block_fwd_impl(x, gn_scale, gn_bias, film_scale,
                                    film_shift, w, bias, skip, w_proj,
                                    pre_shift, num_groups, eps, interpret)

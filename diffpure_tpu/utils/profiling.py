@@ -131,8 +131,16 @@ def absorb_nfe(phases: Dict[str, int], runtime_total) -> None:
     total = int(runtime_total)
     static_total = sum(phases.values())
     if static_total > 0:
+        credited = 0
         for k, v in phases.items():
-            _GLOBAL_NFE.add(k, total * v // static_total)
+            c = total * v // static_total
+            _GLOBAL_NFE.add(k, c)
+            credited += c
+        if credited != total:
+            # floor division drops up to len(phases)-1 evals per absorption;
+            # assign the remainder to the largest phase so the ledger sums
+            # exactly to the program-output total
+            _GLOBAL_NFE.add(max(phases, key=phases.get), total - credited)
     elif total:
         _GLOBAL_NFE.add("unattributed", total)
 

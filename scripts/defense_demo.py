@@ -40,6 +40,18 @@ def main():
                     help="flagship-scale demo: the full CIFAR-config "
                          "NCSN++ (107M, nf=128 ch_mult=(1,2,2,2) 8 blocks) "
                          "trained in-env at 32x32 as the purifier")
+    ap.add_argument("--hard", action="store_true",
+                    help="harder distribution (8 classes, freq 4, lower "
+                         "amplitude): de-saturates the defended number — "
+                         "defended robust lands strictly between "
+                         "undefended and clean")
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated t* values for the dose-response "
+                         "sweep (e.g. '0,5,25,100'); runs white-box "
+                         "APGD-EOT at each t* instead of the full protocol")
+    ap.add_argument("--apgd_iter", type=int, default=None)
+    ap.add_argument("--eot_iter", type=int, default=None)
+    ap.add_argument("--n_eval", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -47,10 +59,19 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from diffpure_tpu.experiments import (DemoConfig, run_demo_protocol,
+                                          run_dose_response,
                                           train_demo_classifier,
                                           train_demo_score)
 
     overrides = {"seed": args.seed}
+    if args.hard:
+        # de-saturated regime: 8 orientation bins at doubled spatial
+        # frequency with low amplitude — t*=100 purification can no longer
+        # restore the class signal perfectly, so defended accuracy leaves
+        # the 100% ceiling and the protocol becomes dose-sensitive
+        overrides.update(n_classes=8, freq=4.0, amp_min=0.15, amp_max=0.35,
+                         noise_std=0.06, clf_steps=2000,
+                         clf_train_size=1024, score_steps=4000)
     if args.large:
         # the flagship model (configs/cifar10.yml score net) on the 32x32
         # synthetic distribution; reduced attack budgets per compute cost
@@ -62,6 +83,9 @@ def main():
             defense_reps=8, apgd_dispatch=1)
     if args.score_steps:
         overrides["score_steps"] = args.score_steps
+    for k in ("apgd_iter", "eot_iter", "n_eval"):
+        if getattr(args, k) is not None:
+            overrides[k] = getattr(args, k)
     cfg = DemoConfig(**overrides)
     print(f"config: {cfg}", flush=True)
     print(f"platform: {jax.devices()[0].platform} "
@@ -101,19 +125,28 @@ def main():
                          "score": jax.device_get(score_params)}, f)
         print(f"trained weights cached to {cache}", flush=True)
 
-    dtypes = ("sde", "dpm") if args.dpm else ("sde",)
-    attacks = ["apgd-eot", "bpda"]
-    if args.standard:
-        attacks.append("aa-standard")
-    results = run_demo_protocol(cfg, score_model, score_params, clf,
-                                clf_params, diffusion_types=dtypes,
-                                attacks=tuple(attacks),
-                                log=lambda s: print(s, flush=True))
+    if args.sweep:
+        t_values = tuple(int(v) for v in args.sweep.split(","))
+        curve = run_dose_response(cfg, score_model, score_params, clf,
+                                  clf_params, t_values=t_values,
+                                  log=lambda s: print(s, flush=True))
+        results = {"config": dataclasses.asdict(cfg),
+                   "dose_response": curve}
+    else:
+        dtypes = ("sde", "dpm") if args.dpm else ("sde",)
+        attacks = ["apgd-eot", "bpda"]
+        if args.standard:
+            attacks.append("aa-standard")
+        results = run_demo_protocol(cfg, score_model, score_params, clf,
+                                    clf_params, diffusion_types=dtypes,
+                                    attacks=tuple(attacks),
+                                    log=lambda s: print(s, flush=True))
     results["wall_s"] = round(time.time() - t0, 1)
     results["platform"] = jax.devices()[0].platform
 
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "results.json"), "w") as f:
+    fname = "dose_response.json" if args.sweep else "results.json"
+    with open(os.path.join(args.out, fname), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({k: v for k, v in results.items() if k != "config"},
                      indent=2))

@@ -1,0 +1,149 @@
+"""Quantify the CIFAR headline residual: GN serialization vs MXU efficiency.
+
+docs/PERF.md attributes the ~15 ms/eval gap between the shipping fused
+kernel (37.3 ms/eval) and the pure-conv floor (~22.5 ms) to two causes
+without numbers: (a) sub-1k-K MXU efficiency of the 9-shifted-matmul conv
+form and (b) GroupNorm statistics serialized with the conv matmuls. This
+script measures both.
+
+Part 1 — GN cost in situ (full-model config-delta, the only measurement
+style that has been trustworthy on this backend): time one NCSN++ eval
+with the fused kernels as shipped vs with GroupNorm statistics replaced by
+a pure affine inside the same kernel (set_perf_skip_gn_stats). The delta
+is the end-to-end cost of GN stats + normalize + their serialization.
+
+Part 2 — MXU efficiency of the conv matmul form (Pallas microkernel,
+VMEM-resident operands, R repeats per grid step to amortize io): sustains
+of  9 x (M, K) @ (K, N)  at the model's dominant shapes, plus the
+im2col-style single (M, 9K) @ (9K, N) as the upper bound on what a
+K-widened conv form could win (ignoring its gather/VMEM costs).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_residual.py
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def part1_gn_delta(batch=128, iters=4):
+    from diffpure_tpu.models.ncsnpp import NCSNpp
+    from diffpure_tpu.ops import fused_resblock as fr
+
+    model = NCSNpp(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (batch, 32, 32, 3)) * 2 - 1
+    t = jnp.full((batch,), 0.5)
+    params = model.init(jax.random.fold_in(key, 1),
+                        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+
+    out = {}
+    for skip in (False, True):
+        fr.set_perf_skip_gn_stats(skip)
+        run = jax.jit(lambda p, xx: jnp.float32(
+            jnp.abs(model.apply(p, xx, t)).sum()))
+        t0 = time.time()
+        float(run(params, x))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            float(run(params, x))
+        dt = (time.time() - t0) / iters
+        tag = "gn_free" if skip else "shipped"
+        out[f"eval_ms_{tag}"] = round(dt * 1e3, 2)
+        print(f"{tag}: {dt * 1e3:.2f} ms/eval (compile {compile_s:.0f}s)",
+              flush=True)
+    fr.set_perf_skip_gn_stats(False)
+    out["gn_stats_cost_ms"] = round(
+        out["eval_ms_shipped"] - out["eval_ms_gn_free"], 2)
+    return out
+
+
+def _mm9_kernel(a_ref, w_ref, o_ref, *, R, M, K, N):
+    """R repeats of 9 shifted-style (M,K)@(K,N) matmuls from VMEM."""
+    acc = jnp.zeros((M, N), jnp.float32)
+    for r in range(R):
+        for k in range(9):
+            acc = acc + jnp.dot(a_ref[...], w_ref[k],
+                                preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _mm1_kernel(a_ref, w_ref, o_ref, *, R, M, K9, N):
+    """R repeats of the im2col-form single (M,9K)@(9K,N) matmul."""
+    acc = jnp.zeros((M, N), jnp.float32)
+    for r in range(R):
+        acc = acc + jnp.dot(a_ref[...], w_ref[...],
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _bench_kernel(kernel, a, w, out_shape, flops, iters=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    run = jax.jit(lambda a_, w_: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(a_, w_).sum())
+    float(run(a, w))
+    t0 = time.time()
+    for _ in range(iters):
+        float(run(a, w))
+    dt = (time.time() - t0) / iters
+    return flops / dt / 1e12
+
+
+def part2_mxu(peak_tflops=197.0):
+    key = jax.random.PRNGKey(0)
+    out = {}
+    # dominant fused-conv shapes: (bt*H*W, K) at the 32x32 (bt=2, K=128)
+    # and 16x16 (bt=4, K=256) levels of the CIFAR model
+    for (M, K, N, R) in ((2048, 128, 128, 64), (1024, 256, 256, 32)):
+        a = jax.random.normal(key, (M, K), jnp.bfloat16)
+        w9 = jax.random.normal(key, (9, K, N), jnp.bfloat16)
+        flops = 2.0 * M * K * N * 9 * R
+        tf = _bench_kernel(
+            functools.partial(_mm9_kernel, R=R, M=M, K=K, N=N),
+            a, w9, (M, N), flops)
+        out[f"mm9_{M}x{K}x{N}_tflops"] = round(tf, 1)
+        out[f"mm9_{M}x{K}x{N}_mxu_eff"] = round(tf / peak_tflops, 3)
+        print(f"9x({M},{K})@({K},{N}): {tf:.1f} TFLOP/s "
+              f"({tf / peak_tflops:.0%} of peak)", flush=True)
+
+        a1 = jax.random.normal(key, (M, 9 * K), jnp.bfloat16)
+        w1 = jax.random.normal(key, (9 * K, N), jnp.bfloat16)
+        tf1 = _bench_kernel(
+            functools.partial(_mm1_kernel, R=R, M=M, K9=9 * K, N=N),
+            a1, w1, (M, N), flops)
+        out[f"mm1_{M}x{9 * K}x{N}_tflops"] = round(tf1, 1)
+        out[f"mm1_{M}x{9 * K}x{N}_mxu_eff"] = round(tf1 / peak_tflops, 3)
+        print(f"im2col ({M},{9 * K})@({9 * K},{N}): {tf1:.1f} TFLOP/s "
+              f"({tf1 / peak_tflops:.0%} of peak)", flush=True)
+    return out
+
+
+def main():
+    out = {"device": getattr(jax.devices()[0], "device_kind", "?")}
+    out.update(part2_mxu())
+    out.update(part1_gn_delta())
+    path = "docs/perf_residual.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

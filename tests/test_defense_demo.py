@@ -55,8 +55,8 @@ def gmm_setup(spec):
                 undefended_robust=float(np.asarray(rob).mean()))
 
 
-def _defended(spec, setup, **pcfg_kw):
-    cfg = PurifyConfig(diffusion_type="sde", t=100,
+def _defended(spec, setup, t=100, **pcfg_kw):
+    cfg = PurifyConfig(diffusion_type="sde", t=t,
                        score_type="score_sde", grad_mode="checkpoint",
                        **pcfg_kw)
     return DefendedModel(
@@ -128,3 +128,29 @@ class TestDefenseEndToEnd:
         robust = _vote(d, x_adv, gmm_setup["y"], jax.random.PRNGKey(43))
         assert robust >= gmm_setup["undefended_robust"] + 0.3
         assert robust >= 0.9
+
+    def test_dose_response_collapses_as_t_star_vanishes(self, spec,
+                                                        gmm_setup):
+        """Attack-power calibration (de-saturation): as t* -> 0 the
+        purifier vanishes, so white-box APGD *through the purifier* must
+        WIN — defended robust accuracy collapses to the undefended level —
+        while at t*=100 it defends. This is what makes a 100%-defended
+        headline falsifiable: a gradient-masking bug in the purifier VJP
+        would keep the t*=2 point high and fail this test
+        (ref measurement semantics: eval_sde_adv.py:211-243)."""
+        acfg = APGDConfig(norm="Linf", eps=EPS, n_iter=20, eot_iter=2,
+                          loss="ce")
+        accs = {}
+        for t_star in (2, 25, 100):
+            d = _defended(spec, gmm_setup, t=t_star)
+            x_adv, _ = apgd_attack(d, gmm_setup["x01"], gmm_setup["y"],
+                                   jax.random.PRNGKey(50 + t_star), acfg)
+            accs[t_star] = _vote(d, x_adv, gmm_setup["y"],
+                                 jax.random.PRNGKey(60 + t_star))
+        # near-zero noise level: the attack wins through the purifier
+        assert accs[2] <= gmm_setup["undefended_robust"] + 0.15, accs
+        # full noise level: the defense holds
+        assert accs[100] >= gmm_setup["undefended_robust"] + 0.3, accs
+        # dose-response: more purification noise -> more robust (loose
+        # monotonicity; stochastic-vote wiggle tolerated)
+        assert accs[2] <= accs[25] + 0.1 <= accs[100] + 0.2, accs

@@ -249,3 +249,149 @@ class TestDPMRunner:
             use_ddim=True)
         assert out.shape == SHAPE
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestGuidedScoreGradients:
+    """White-box gradients through guided_diffusion-score purifiers.
+
+    The reference's ImageNet AutoAttack protocol differentiates THROUGH the
+    ADM purifier over the reverse VP-SDE (--diffusion_type sde with
+    --score_type guided_diffusion: ref run_scripts/imagenet/
+    run_in_rand_inf.sh:15-24, eval_sde_adv.py:103-110,
+    runners/diffpure_sde.py:101-112) — so every guided-score runner variant
+    needs a pinned VJP, not just the CIFAR score_sde pair. These pin the
+    eps->score adapter gradient (the learn_sigma jnp.split channel-half)
+    composed with each solver, at CPU sizes.
+    """
+
+    @staticmethod
+    def _guided_eps(var_gain):
+        """Smooth 6-channel guided-diffusion-style model: eps head depends
+        on x, var head = var_gain * x^2 (must NOT leak into gradients)."""
+        def model(params, x, steps):
+            sf = steps.astype(jnp.float32).reshape(
+                (-1,) + (1,) * (x.ndim - 1)) / 1000.0
+            eps = params["gain"] * jnp.tanh(x) * (1.0 + 0.1 * sf)
+            return jnp.concatenate([eps, var_gain * x * x], axis=-1)
+        return model
+
+    def _fd_check(self, loss, x, key, rtol=2e-2, eps_fd=3e-3):
+        """Directional finite-difference vs backprop on a fixed direction."""
+        g = jax.grad(loss)(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+        d = jax.random.normal(key, x.shape)
+        d = d / jnp.sqrt(jnp.sum(d * d))
+        fd = (loss(x + eps_fd * d) - loss(x - eps_fd * d)) / (2 * eps_fd)
+        bp = jnp.sum(g * d)
+        np.testing.assert_allclose(float(bp), float(fd),
+                                   rtol=rtol, atol=5e-4)
+
+    def test_var_half_gradient_is_discarded(self, key):
+        """jnp.split channel-half semantics: the learned-variance half must
+        contribute neither to the purified output nor to its gradient
+        (ref diffpure_sde.py:101-112 splits dim=1 and keeps eps)."""
+        cfg = PurifyConfig(diffusion_type="sde", t=5,
+                           score_type="guided_diffusion",
+                           grad_mode="checkpoint")
+        x = jax.random.normal(key, SHAPE) * 0.5
+        k = jax.random.fold_in(key, 1)
+
+        outs, grads = [], []
+        for vg in (0.0, 7.0):
+            f = lambda xx: jnp.sum(purify(self._guided_eps(vg), PARAMS,  # noqa: E731,B023
+                                          xx, k, cfg) ** 2)
+            grads.append(np.asarray(jax.grad(f)(x)))
+            outs.append(np.asarray(purify(self._guided_eps(vg), PARAMS,
+                                          x, k, cfg)))
+        np.testing.assert_array_equal(outs[0], outs[1])
+        np.testing.assert_array_equal(grads[0], grads[1])
+
+    def test_guided_sde_grad_matches_fd(self, key):
+        """Exact backprop through the guided-score reverse-SDE purifier
+        (the ImageNet-256 white-box attack path) vs finite differences."""
+        cfg = PurifyConfig(diffusion_type="sde", t=5,
+                           score_type="guided_diffusion",
+                           grad_mode="checkpoint")
+        x = jax.random.normal(key, (2, 4, 4, 3)) * 0.5
+        k = jax.random.fold_in(key, 1)
+        w = jax.random.normal(jax.random.fold_in(key, 2), (2, 4, 4, 3))
+        loss = lambda xx: jnp.sum(  # noqa: E731
+            purify(self._guided_eps(3.0), PARAMS, xx, k, cfg) * w)
+        self._fd_check(loss, x, jax.random.fold_in(key, 3))
+
+    def test_guided_sde_grad_toy_adm(self, key):
+        """jax.grad through purify(score_type='guided_diffusion') with a
+        real (tiny) ADMUNet: pins the eps->score VJP composed with
+        GroupNorm32/FiLM/attention blocks (the actual 552M graph shape)."""
+        from diffpure_tpu.models.adm_unet import ADMUNet
+
+        model = ADMUNet(image_size=8, in_channels=3, model_channels=32,
+                        out_channels=6, num_res_blocks=1,
+                        attention_resolutions=(2,), channel_mult=(1, 2),
+                        num_heads=2, num_head_channels=16,
+                        resblock_updown=True, use_scale_shift_norm=True)
+        key_p, key_x, key_r, key_d = (jax.random.fold_in(key, i)
+                                      for i in range(4))
+        params = model.init(key_p, jnp.zeros((1, 8, 8, 3)),
+                            jnp.zeros((1,), jnp.int32))
+        cfg = PurifyConfig(diffusion_type="sde", t=3,
+                           score_type="guided_diffusion",
+                           grad_mode="checkpoint")
+        x = jax.random.uniform(key_x, (2, 8, 8, 3)) * 2 - 1
+        loss = lambda xx: jnp.sum(purify(  # noqa: E731
+            lambda p, a, t: model.apply(p, a, t), params, xx, key_r,
+            cfg) ** 2)
+        self._fd_check(loss, x, key_d, rtol=5e-2)
+
+    def test_guided_ddpm_ancestral_grad_matches_fd(self, key):
+        """grad through the discrete guided loop (p_sample ancestral steps,
+        LEARNED_RANGE variance, clip_denoised) under grad_mode='checkpoint'
+        — the reference runs this no-grad/BPDA (diffpure_guided.py:42) but
+        the runner keeps the scan differentiable when asked."""
+        cfg = PurifyConfig(diffusion_type="ddpm", t=4,
+                           score_type="guided_diffusion",
+                           grad_mode="checkpoint")
+        x = jax.random.normal(key, (2, 4, 4, 3)) * 0.3
+        k = jax.random.fold_in(key, 1)
+        loss = lambda xx: jnp.sum(  # noqa: E731
+            purify(self._guided_eps(2.0), PARAMS, xx, k, cfg) ** 2)
+        self._fd_check(loss, x, jax.random.fold_in(key, 2))
+
+    def test_guided_ddim_respaced_grad_matches_fd(self, key):
+        """grad through respaced DDIM purification (SpacedDiffusion +
+        deterministic ddim_sample; ref respace.py:71-135) — every
+        differentiable runner variant gets a grad test."""
+        from diffpure_tpu.purify.runners import (
+            make_imagenet_diffusion, purify_guided_ddpm,
+        )
+        cfg = PurifyConfig(diffusion_type="ddpm", t=4,
+                           score_type="guided_diffusion",
+                           grad_mode="checkpoint")
+        diffusion = make_imagenet_diffusion("ddim25")
+        x = jax.random.normal(key, (2, 4, 4, 3)) * 0.3
+        k = jax.random.fold_in(key, 1)
+        loss = lambda xx: jnp.sum(purify_guided_ddpm(  # noqa: E731
+            self._guided_eps(2.0), PARAMS, xx, k, cfg,
+            diffusion=diffusion, use_ddim=True) ** 2)
+        self._fd_check(loss, x, jax.random.fold_in(key, 2))
+
+    def test_guided_sde_sample_step2_grad(self, key):
+        """sample_step>1 (iterated purification, ref --sample_step) stays
+        differentiable end-to-end: gradient flows through BOTH iterations
+        (the second iteration re-noises the first's output)."""
+        cfg = PurifyConfig(diffusion_type="sde", t=4, sample_step=2,
+                           score_type="guided_diffusion",
+                           grad_mode="checkpoint")
+        x = jax.random.normal(key, (2, 4, 4, 3)) * 0.5
+        k = jax.random.fold_in(key, 1)
+        loss = lambda xx: jnp.sum(  # noqa: E731
+            purify(self._guided_eps(1.0), PARAMS, xx, k, cfg) ** 2)
+        self._fd_check(loss, x, jax.random.fold_in(key, 2))
+        # the second iteration's output must depend on x (not just noise)
+        out = purify(self._guided_eps(1.0), PARAMS, x, k, cfg)
+        assert out.shape[0] == 2 * x.shape[0]
+        g2 = jax.grad(lambda xx: jnp.sum(purify(
+            self._guided_eps(1.0), PARAMS, xx, k,
+            cfg)[x.shape[0]:] ** 2))(x)
+        assert float(jnp.abs(g2).max()) > 0
