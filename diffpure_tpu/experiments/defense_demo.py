@@ -79,6 +79,7 @@ class DemoConfig:
     n_eval: int = 64
     eot_iter: int = 5          # EOT reps for APGD through the purifier
     apgd_iter: int = 50
+    aa_iter: Optional[int] = None  # AA-standard-suite iters (None: apgd_iter)
     defense_reps: int = 8      # stochastic-defense vote for accuracy numbers
     # >0: bound APGD-through-the-purifier to this many iterations per
     # device dispatch. Required at flagship scale on the remote backend:
@@ -325,7 +326,7 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
             aa_std = AutoAttack(
                 defended,
                 AutoAttackConfig(version="standard", eps=cfg.eps,
-                                 n_iter=cfg.apgd_iter,
+                                 n_iter=cfg.aa_iter or cfg.apgd_iter,
                                  eot_iter=1, square_n_queries=300,
                                  fab_n_target_classes=min(
                                      cfg.n_classes - 1, 3),

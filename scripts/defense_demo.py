@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--apgd_iter", type=int, default=None)
     ap.add_argument("--eot_iter", type=int, default=None)
     ap.add_argument("--n_eval", type=int, default=None)
+    ap.add_argument("--aa_iter", type=int, default=None,
+                    help="AA-standard-suite iteration budget "
+                         "(default: apgd_iter)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -83,7 +86,7 @@ def main():
             defense_reps=8, apgd_dispatch=1)
     if args.score_steps:
         overrides["score_steps"] = args.score_steps
-    for k in ("apgd_iter", "eot_iter", "n_eval"):
+    for k in ("apgd_iter", "eot_iter", "n_eval", "aa_iter"):
         if getattr(args, k) is not None:
             overrides[k] = getattr(args, k)
     cfg = DemoConfig(**overrides)
@@ -94,6 +97,19 @@ def main():
     t0 = time.time()
     os.makedirs(args.out, exist_ok=True)
     cache = os.path.join(args.out, "trained_weights.pkl")
+    # cache key: only the fields that affect TRAINING — attack budgets
+    # (apgd_iter/eot_iter/n_eval/aa_iter/...) can change between runs that
+    # reuse the same trained weights (e.g. the budget-increase rerun)
+    train_fields = ("size", "n_classes", "amp_min", "amp_max", "freq",
+                    "noise_std", "clf_width", "clf_steps", "clf_train_size",
+                    "score_nf", "score_ch_mult", "score_blocks",
+                    "score_attn", "score_steps", "score_batch", "score_lr",
+                    "score_warmup", "ema_rate", "seed")
+    from diffpure_tpu.experiments import DemoConfig as _DC
+    _defaults = {k: getattr(_DC(), k) for k in train_fields}
+    # caches written before a field existed carry its default implicitly
+    train_key = lambda d: {k: d.get(k, _defaults[k])  # noqa: E731
+                           for k in train_fields}
     if os.path.exists(cache):
         # resume a crashed protocol run without retraining (the models
         # rebuild deterministically from cfg; only params are cached)
@@ -103,7 +119,8 @@ def main():
         from diffpure_tpu.models.ncsnpp import NCSNpp
         with open(cache, "rb") as f:
             blob = pickle.load(f)
-        assert blob["config"] == dataclasses.asdict(cfg), \
+        assert train_key(blob["config"]) == train_key(
+            dataclasses.asdict(cfg)), \
             f"cache {cache} was trained under a different DemoConfig"
         clf = SmallCNN(n_classes=cfg.n_classes, width=cfg.clf_width)
         score_model = NCSNpp(

@@ -138,7 +138,10 @@ def phase_apgd(batch, t_star, n_iter, eot, out):
         classifier_params=clf_params, purify_cfg=cfg, resize_to=256)
 
     y = jnp.zeros((batch,), jnp.int32)
-    x01 = (x + 1.0) * 0.5
+    # the protocol feeds classifier-sized (224px) images; DefendedModel
+    # resizes 224->256 for purification and back (ref eval_sde_adv.py:64-76)
+    x01 = jax.random.uniform(jax.random.fold_in(key, 9),
+                             (batch, 224, 224, 3))
     acfg = APGDConfig(norm="Linf", eps=0.0157, n_iter=n_iter,
                       eot_iter=eot, loss="ce", iters_per_dispatch=1)
     t0 = time.time()
