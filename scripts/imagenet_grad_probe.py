@@ -36,9 +36,21 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+SMALL = False  # --small: tiny ADM on CPU (plumbing smoke, no chip)
+
+
 def build_adm(batch):
     from diffpure_tpu.models.adm_unet import ADMUNet, imagenet256_config
     key = jax.random.PRNGKey(0)
+    if SMALL:
+        model = ADMUNet(image_size=8, model_channels=32, out_channels=6,
+                        num_res_blocks=1, attention_resolutions=(2,),
+                        channel_mult=(1, 2), num_heads=2,
+                        num_head_channels=16)
+        params = model.init(key, jnp.zeros((1, 8, 8, 3)),
+                            jnp.zeros((1,), jnp.int32))
+        x = jax.random.uniform(key, (batch, 8, 8, 3)) * 2 - 1
+        return model, params, x, key
     model = ADMUNet(**imagenet256_config(use_bf16=True))
     params = jax.eval_shape(lambda: model.init(
         key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32)))
@@ -142,6 +154,10 @@ def phase_apgd(batch, t_star, n_iter, eot, out):
     # resizes 224->256 for purification and back (ref eval_sde_adv.py:64-76)
     x01 = jax.random.uniform(jax.random.fold_in(key, 9),
                              (batch, 224, 224, 3))
+    if SMALL:  # tiny ADM is 8px: keep the resize path but at toy sizes
+        defended.resize_to = 8
+        x01 = jax.random.uniform(jax.random.fold_in(key, 9),
+                                 (batch, 224, 224, 3))
     acfg = APGDConfig(norm="Linf", eps=0.0157, n_iter=n_iter,
                       eot_iter=eot, loss="ce", iters_per_dispatch=1)
     t0 = time.time()
@@ -164,7 +180,13 @@ def main():
     ap.add_argument("--apgd_iter", type=int, default=3)
     ap.add_argument("--eot_iter", type=int, default=2)
     ap.add_argument("--out", default="docs/imagenet_grad_probe.json")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny ADM on CPU: plumbing smoke, no chip")
     args = ap.parse_args()
+    if args.small:
+        global SMALL
+        SMALL = True
+        jax.config.update("jax_platforms", "cpu")
     phases = args.phases.split(",")
 
     out = {"batch": args.batch, "t_star": args.t,
