@@ -43,6 +43,10 @@ class AutoAttackConfig:
     seed: int = 0
     # bound APGD single-dispatch length (see APGDConfig.iters_per_dispatch)
     apgd_iters_per_dispatch: int = 0
+    # same for FAB-T iterations and Square queries (the whole suite must
+    # dispatch-chunk when the defended forward is minutes-per-call)
+    fab_iters_per_dispatch: int = 0
+    square_iters_per_dispatch: int = 0
 
 
 class AutoAttack:
@@ -84,11 +88,13 @@ class AutoAttack:
             return apgd_attack(self.model_fn, x, y, key, a)
         if name == "fab-t":
             a = FABConfig(norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter,
-                          n_target_classes=cfg.fab_n_target_classes)
+                          n_target_classes=cfg.fab_n_target_classes,
+                          iters_per_dispatch=cfg.fab_iters_per_dispatch)
             return fab_attack(self.model_fn, x, y, key, a)
         if name == "square":
             a = SquareConfig(norm=cfg.norm, eps=cfg.eps,
-                             n_queries=cfg.square_n_queries)
+                             n_queries=cfg.square_n_queries,
+                             iters_per_dispatch=cfg.square_iters_per_dispatch)
             return square_attack(self.model_fn, x, y, key, a)
         raise ValueError(name)
 

@@ -34,6 +34,9 @@ class FABConfig:
     eta: float = 1.05
     beta: float = 0.9
     seed: int = 0
+    # bound single-dispatch length when model_fn is an expensive defended
+    # forward (execution-watchdog backends; utils/jitlift.scan_chunked)
+    iters_per_dispatch: int = 0
 
 
 def _flat(v):
@@ -192,9 +195,10 @@ def fab_attack(model_fn: ModelFn, x: Array, y: Array, key: Array,
                                 x_new)
                 return (x_i, x_best, best_norm, found), None
 
-            (x_i, x_best, best_norm, found), _ = jax.lax.scan(
+            from diffpure_tpu.utils.jitlift import scan_chunked
+            (x_i, x_best, best_norm, found) = scan_chunked(
                 body, (x_i, x_best, best_norm, found),
-                jnp.arange(cfg.n_iter))
+                jnp.arange(cfg.n_iter), cfg.iters_per_dispatch)
 
     ok = found & (best_norm <= cfg.eps)
     x_adv = jnp.where(ok[:, None, None, None], x_best, x)

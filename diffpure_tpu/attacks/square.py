@@ -28,6 +28,9 @@ class SquareConfig:
     n_queries: int = 5000
     p_init: float = 0.8
     seed: int = 0
+    # bound single-dispatch length when model_fn is an expensive defended
+    # forward (execution-watchdog backends; utils/jitlift.scan_chunked)
+    iters_per_dispatch: int = 0
 
 
 def _p_selection(p_init: float, it: int, n_queries: int) -> float:
@@ -132,7 +135,9 @@ def _square_linf(model_fn, x, y, key, cfg: SquareConfig, draws=None):
     if draws is not None:
         its = its + (jnp.asarray(draws["vh"]), jnp.asarray(draws["vw"]),
                      jnp.asarray(draws["color"]))
-    (x_best, margins, _), _ = jax.lax.scan(body, (x_best, margins, key), its)
+    from diffpure_tpu.utils.jitlift import scan_chunked
+    (x_best, margins, _) = scan_chunked(body, (x_best, margins, key), its,
+                                        cfg.iters_per_dispatch)
     found = margins < 0
     return jnp.where(found[:, None, None, None], x_best, x), found
 
@@ -285,6 +290,8 @@ def _square_l2(model_fn, x, y, key, cfg: SquareConfig, draws=None):
         its = its + (jnp.asarray(draws["vh"]), jnp.asarray(draws["vw"]),
                      jnp.asarray(draws["signs"]),
                      jnp.asarray(draws["orient"], jnp.int32))
-    (x_best, margins, _), _ = jax.lax.scan(body, (x_best, margins, key), its)
+    from diffpure_tpu.utils.jitlift import scan_chunked
+    (x_best, margins, _) = scan_chunked(body, (x_best, margins, key), its,
+                                        cfg.iters_per_dispatch)
     found = margins < 0
     return jnp.where(found[:, None, None, None], x_best, x), found

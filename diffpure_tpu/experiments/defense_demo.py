@@ -331,7 +331,12 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
                                  fab_n_target_classes=min(
                                      cfg.n_classes - 1, 3),
                                  apgd_t_n_target_classes=min(
-                                     cfg.n_classes - 1, 3)),
+                                     cfg.n_classes - 1, 3),
+                                 apgd_iters_per_dispatch=cfg.apgd_dispatch,
+                                 fab_iters_per_dispatch=cfg.apgd_dispatch,
+                                 square_iters_per_dispatch=(
+                                     cfg.apgd_dispatch * 8
+                                     if cfg.apgd_dispatch else 0)),
                 log_fn=lambda s: log(f"  [aa-std] {s}"))
             _, rob_std = aa_std.run_standard_evaluation(
                 x01, y, jax.random.fold_in(key, 15))

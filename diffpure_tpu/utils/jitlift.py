@@ -19,7 +19,7 @@ from typing import Callable
 
 import jax
 
-__all__ = ["jit_lifted"]
+__all__ = ["jit_lifted", "scan_chunked"]
 
 
 def jit_lifted(fn: Callable, *example_args) -> Callable:
@@ -47,3 +47,36 @@ def jit_lifted(fn: Callable, *example_args) -> Callable:
         return jitted(consts, *args)
 
     return call
+
+
+def scan_chunked(body, carry, its, iters_per_dispatch: int):
+    """lax.scan split into bounded device dispatches.
+
+    Remote-execution backends kill multi-minute single dispatches (the
+    execution watchdog, docs/STATUS.md); attacks that scan over hundreds
+    of model evaluations split the scan into chunks of
+    ``iters_per_dispatch`` iterations. The carry stays on device between
+    dispatches; chunk programs are jit-lifted (params as buffers, not HLO
+    constants) and cached by chunk length (the tail may be shorter).
+    ``iters_per_dispatch <= 0`` runs the plain single-dispatch scan.
+    Returns the final carry (per-step outputs are not collected).
+    """
+    if iters_per_dispatch <= 0:
+        carry, _ = jax.lax.scan(body, carry, its)
+        return carry
+
+    n = jax.tree_util.tree_leaves(its)[0].shape[0]
+
+    def raw(carry, its_chunk):
+        c, _ = jax.lax.scan(body, carry, its_chunk)
+        return c
+
+    fns = {}
+    for s in range(0, n, iters_per_dispatch):
+        its_c = jax.tree_util.tree_map(
+            lambda a: a[s:s + iters_per_dispatch], its)
+        ln = jax.tree_util.tree_leaves(its_c)[0].shape[0]
+        if ln not in fns:
+            fns[ln] = jit_lifted(raw, carry, its_c)
+        carry = fns[ln](carry, its_c)
+    return carry

@@ -481,3 +481,36 @@ class TestStAdvChunkedDispatch:
                               StAdvConfig(**base, iters_per_dispatch=7))
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+
+class TestFABSquareChunkedDispatch:
+    """Round 4: FAB-T and Square gained scan_chunked dispatch bounding so
+    the full AA-standard suite can run through minutes-per-call defended
+    forwards on the execution-watchdog backend (flagship protocol runs).
+    Chunking must not change the math: bit-equal vs the one-program scan,
+    including a tail chunk."""
+
+    def test_fab_chunked_equals_one_program(self, linear_setup, key):
+        from diffpure_tpu.attacks.fab import FABConfig, fab_attack
+        model_fn, x, y, W = linear_setup
+        base = dict(norm="Linf", eps=0.3, n_iter=20, n_target_classes=2)
+        x1, f1 = fab_attack(model_fn, x, y, key, FABConfig(**base))
+        x2, f2 = fab_attack(model_fn, x, y, key,
+                            FABConfig(**base, iters_per_dispatch=7))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   atol=1e-6)
+
+    def test_square_chunked_equals_one_program(self, linear_setup, key):
+        from diffpure_tpu.attacks.square import SquareConfig, square_attack
+        model_fn, x, y, W = linear_setup
+        for norm, eps in (("Linf", 0.15), ("L2", 0.8)):
+            base = dict(norm=norm, eps=eps, n_queries=30)
+            x1, f1 = square_attack(model_fn, x, y, key,
+                                   SquareConfig(**base))
+            x2, f2 = square_attack(model_fn, x, y, key,
+                                   SquareConfig(**base,
+                                                iters_per_dispatch=9))
+            np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+            np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                       atol=1e-6)
