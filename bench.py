@@ -147,6 +147,42 @@ def bench_adm256():
     return dt, compile_s
 
 
+ADM_DDIM_RESPACE = 50  # ddim50: 50-step respacing of the 1000-step process
+ADM_DDIM_T = 8         # respaced index ~ t*=150/1000*50 (abar-matched depth)
+
+
+def bench_adm256_ddim():
+    """Accelerated ImageNet-256 purification: ddim50 respacing + DDIM
+    updates (ref respace.py:71-135, gaussian_diffusion.py:545-612) — the
+    discrete-path NFE reduction analogous to DPM++ on the continuous path
+    (docs/PERF.md: the route past the ADM-256 single-chip roofline).
+    Forward-noise depth: respaced index 8 maps to original step ~160,
+    abar-matched to the reference's t*=150."""
+    from diffpure_tpu.models.adm_unet import ADMUNet, imagenet256_config
+    from diffpure_tpu.purify import PurifyConfig, purify
+    from diffpure_tpu.purify.runners import make_imagenet_diffusion
+
+    key = jax.random.PRNGKey(0)
+    model = ADMUNet(**imagenet256_config(use_bf16=True))
+    params = jax.eval_shape(lambda: model.init(
+        key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32)))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params)
+    diffusion = make_imagenet_diffusion(f"ddim{ADM_DDIM_RESPACE}")
+    cfg = PurifyConfig(diffusion_type="ddpm", t=ADM_DDIM_T,
+                       score_type="guided_diffusion", grad_mode="none")
+    x = jax.random.uniform(key, (ADM_BATCH, 256, 256, 3)) * 2 - 1
+
+    @jax.jit
+    def run(params, xx, k):
+        return jnp.float32(purify(
+            lambda p, a, t: model.apply(p, a, t), params, xx, k, cfg,
+            diffusion=diffusion, use_ddim=True).sum())
+
+    dt, compile_s = _timed(run, params, x, key)
+    return dt, compile_s
+
+
 ADM_GRAD_BATCH = 2
 ADM_GRAD_T_STAR = 150
 
@@ -306,6 +342,20 @@ def main():
         }
     except Exception as e:
         workloads["imagenet256_adm_t150"] = {"error": repr(e)[:200]}
+
+    # --- ImageNet-256 accelerated purification (ddim50 respacing) -------
+    try:
+        dt, compile_s = bench_adm256_ddim()
+        workloads["imagenet256_ddim50_t8"] = {
+            "img_per_sec_per_chip": round(ADM_BATCH / dt / n_chips, 3),
+            "vs_baseline": round(ADM_BATCH / dt / n_chips
+                                 / ADM_REFERENCE_IMGS_PER_SEC_V100, 2),
+            "nfe": ADM_DDIM_T,
+            "batch": ADM_BATCH,
+            "compile_s": round(compile_s, 1),
+        }
+    except Exception as e:
+        workloads["imagenet256_ddim50_t8"] = {"error": repr(e)[:200]}
 
     # --- ImageNet-256 white-box gradient (the reference ImageNet AA path)
     try:
