@@ -154,3 +154,42 @@ class TestDefenseEndToEnd:
         # dose-response: more purification noise -> more robust (loose
         # monotonicity; stochastic-vote wiggle tolerated)
         assert accs[2] <= accs[25] + 0.1 <= accs[100] + 0.2, accs
+
+
+class TestDeSaturatedRegime:
+    def test_defended_robust_strictly_between(self, key):
+        """The de-saturated measurement (round 4, scripts/defense_dose_gmm
+        hard_mixture, calibrated there): 8 close-mean classes at eps=8/255
+        put defended robust accuracy STRICTLY between undefended and
+        defended-clean — the reference's CIFAR shape (~71% robust vs ~89%
+        clean) instead of a saturated 100%. Guards against both failure
+        directions: a broken attack-through-purifier reads ~clean_def (too
+        high), a broken purifier posterior reads ~undefended (too low)."""
+        from diffpure_tpu.data.synthetic import SyntheticSpec
+        from scripts.defense_dose_gmm import build, defended_at, vote
+
+        eps = 8 / 255
+        spec = SyntheticSpec(size=8, n_classes=8, freq=2.0)
+        amp, sig = 0.09, 0.10
+        clf, clf_params, clf_fn, x01, y = build(
+            spec, amp, sig, clf_steps=700, width=24, n_train=1024,
+            n_eval=32)
+
+        aa = AutoAttack(clf_fn, AutoAttackConfig(
+            version="custom", attacks_to_run=("apgd-ce",), eps=eps,
+            n_iter=30), log_fn=lambda s: None)
+        _, rob = aa.run_standard_evaluation(x01, y, jax.random.PRNGKey(9))
+        undef = float(np.asarray(rob).mean())
+
+        d = defended_at(spec, amp, sig, clf, clf_params, 100)
+        clean_def = vote(d, x01, y, jax.random.fold_in(key, 1))
+        acfg = APGDConfig(norm="Linf", eps=eps, n_iter=20, eot_iter=2,
+                          loss="ce")
+        x_adv, _ = apgd_attack(d, x01, y, jax.random.fold_in(key, 2), acfg)
+        rob_def = vote(d, x_adv, y, jax.random.fold_in(key, 3))
+
+        assert undef <= 0.25, undef                      # fragile victim
+        assert clean_def >= 0.80, clean_def              # defense usable
+        assert rob_def >= undef + 0.15, (undef, rob_def)  # defense helps
+        # ... but does NOT saturate: the attack visibly wins ground
+        assert rob_def <= clean_def - 0.10, (clean_def, rob_def)
