@@ -55,6 +55,23 @@ def set_perf_skip_gn_stats(enable: bool) -> None:
     _PERF_SKIP_GN_STATS = enable
 
 
+# Measurement switch for the conv form inside the kernel (VERDICT r3 #6):
+# "mm9" (shipping) = 9 shifted (M, cin) @ (cin, cout) matmuls straight off
+# the padded scratch; "im2col" = materialize the (M, 9*cin) window matrix
+# in VMEM and run ONE (M, 9*cin) @ (9*cin, cout) matmul — trades ~9x the
+# activation-tile VMEM for a K-widened MXU shape. Numerically identical
+# (same fp32 accumulation); still probe-gated because the extra VMEM is
+# not yet modeled by the tile pickers, so it may not compile at the
+# shipped tiles for every config.
+_CONV_FORM = "mm9"
+
+
+def set_conv_form(form: str) -> None:
+    global _CONV_FORM
+    assert form in ("mm9", "im2col"), form
+    _CONV_FORM = form
+
+
 def _gn_silu_inkernel(x32, scale, bias, C, G, n, eps):
     """GroupNorm (+SiLU) on an fp32 (bt, H, W, C) VMEM tensor via one-hot
     matmuls; returns fp32."""
@@ -81,6 +98,14 @@ def _conv3x3_inkernel(pad_ref, h, w9, bt, H, W, cin, cout, compute_dtype):
     """3x3 SAME conv via 9 shifted matmuls; pad_ref is a zeroed
     (bt, H+2, W+2, cin) VMEM scratch. Returns fp32 (bt, H, W, cout)."""
     pad_ref[:, 1:H + 1, 1:W + 1, :] = h.astype(compute_dtype)
+    if _CONV_FORM == "im2col":
+        cols = jnp.concatenate(
+            [pad_ref[:, dy:dy + H, dx:dx + W, :]
+             for dy in range(3) for dx in range(3)], axis=-1)
+        wk = w9[...].reshape(9 * cin, cout).astype(compute_dtype)
+        return jnp.dot(cols.reshape(bt * H * W, 9 * cin), wk,
+                       preferred_element_type=jnp.float32
+                       ).reshape(bt, H, W, cout)
     acc = jnp.zeros((bt, H, W, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):

@@ -49,6 +49,23 @@ class TestKernelNumerics:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
 
+    def test_im2col_conv_form_matches_reference(self, rng):
+        """The perf-probe im2col conv form (one (M,9K)@(9K,N) matmul on the
+        materialized window matrix) is numerically identical to the
+        shipping 9-shifted-matmul form (scripts/perf_residual.py part 1)."""
+        from diffpure_tpu.ops import fused_resblock as fr
+        x, temb, params = make_inputs(rng, 128, 256, skip=True)
+        want = fused_resblock_reference(x, temb, params, num_groups1=32,
+                                        num_groups2=32)
+        fr.set_conv_form("im2col")
+        try:
+            got = fused_resblock_pallas(x, temb, params, num_groups1=32,
+                                        num_groups2=32, interpret=True)
+        finally:
+            fr.set_conv_form("mm9")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
     def test_matches_unfused_block_math(self, rng):
         """Reference (fp32-accumulating) vs the plain jnp block chain."""
         cin = cout = 64
