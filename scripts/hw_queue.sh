@@ -40,8 +40,25 @@ run inet_grad   10800  python scripts/imagenet_grad_probe.py \
 run residual     3600  python scripts/perf_residual.py
 run dose        14400  python scripts/defense_demo.py --hard \
                          --sweep 0,5,25,100 --out docs/defense_dose_hw
-run flagship    21600  python scripts/defense_demo.py --large --standard \
-                         --apgd_iter 100 --eot_iter 10 \
-                         --out docs/defense_demo_large
+# the de-saturated full protocol on the SAME trained weights (cache shared
+# via the out dir; writes results.json next to dose_response.json)
+run dose_proto  14400  python scripts/defense_demo.py --hard \
+                         --out docs/defense_dose_hw
 run celebahq    14400  bash run_scripts/celebahq/run_celebahq_bpda_glasses.sh
+# white-box budget = exactly half the reference protocol (100x10 vs 100x20,
+# eval_sde_adv.py:103-110) on an n_eval=16 subset; sde only (round 3 already
+# settled dpm equivalence at 20x3); weights reload from the round-3 cache
+run flagship_wb 21600  python scripts/defense_demo.py --large \
+                         --apgd_iter 100 --eot_iter 10 --n_eval 16 \
+                         --out docs/defense_demo_large
+# AA standard suite at flagship scale, 100-iter APGD-CE/T + FAB-T,
+# Square@300 queries (budget disclosed in DEFENSE.md). Seed the out dir
+# with the round-3 trained-weights cache so no retraining happens.
+mkdir -p docs/defense_demo_large_aa
+[ -f docs/defense_demo_large_aa/trained_weights.pkl ] || \
+  ln docs/defense_demo_large/trained_weights.pkl \
+     docs/defense_demo_large_aa/trained_weights.pkl 2>/dev/null || true
+run flagship_aa 14400  python scripts/defense_demo.py --large --standard \
+                         --aa_iter 100 --n_eval 16 \
+                         --out docs/defense_demo_large_aa
 echo "QUEUE DONE"
