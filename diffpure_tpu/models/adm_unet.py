@@ -290,7 +290,8 @@ class AttentionBlockADM(nn.Module):
         order = "new" if self.use_new_attention_order else "legacy"
         if self.use_flash and (H * W) >= 1024:
             from diffpure_tpu.ops.flash_attention import qkv_flash_attention
-            a = qkv_flash_attention(qkv, heads, order=order)
+            a = qkv_flash_attention(qkv, heads, order=order,
+                                    interpret=jax.default_backend() != "tpu")
         else:
             a = qkv_attention(qkv, heads, order=order)
         a = nn.Dense(C, kernel_init=zero_init(), dtype=self.dtype,

@@ -65,10 +65,61 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
 
     q, k, v: (BH, T, D). `scale` is applied to BOTH q and k (the ADM
     1/sqrt(sqrt(ch)) convention, ref unet.py:354-357).
+
+    Differentiable: the ImageNet-256 white-box protocol takes gradients
+    THROUGH the ADM purifier (ref eval_sde_adv.py:103-110 with
+    --diffusion_type sde), so this kernel carries a custom VJP. The
+    backward recomputes exact softmax attention in fp32 and differentiates
+    it — the (T, T) score matrix is materialized transiently per
+    batch*head slice in the backward only, which at attack batch sizes is
+    well inside HBM and lets XLA fuse the whole chain; the forward stays
+    the online-softmax Pallas kernel.
     """
+    block_q = min(block_q, q.shape[1])
+    block_k = min(block_k, q.shape[1])
+    return _flash_attention(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _reference_attention(q: Array, k: Array, v: Array,
+                         scale: float) -> Array:
+    """Exact-softmax semantics of the kernel (fp32 accumulation, output
+    cast to q.dtype) — the differentiation target for the custom VJP and
+    the oracle in tests/test_flash_attention.py."""
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32) * scale
+    s = jnp.einsum("btd,bsd->bts", qf, kf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bts,bsd->btd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention(q: Array, k: Array, v: Array, scale: float,
+                     block_q: int, block_k: int,
+                     interpret: bool) -> Array:
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, scale),
+        q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def _flash_forward(q: Array, k: Array, v: Array, scale: float,
+                   block_q: int, block_k: int,
+                   interpret: bool) -> Array:
     BH, T, D = q.shape
-    block_q = min(block_q, T)
-    block_k = min(block_k, T)
     assert T % block_q == 0 and T % block_k == 0, (T, block_q, block_k)
 
     grid = (BH, T // block_q)
