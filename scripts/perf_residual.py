@@ -35,7 +35,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def part1_gn_delta(batch=128, iters=4):
+def part1_gn_delta(batch=128, iters=4, chain=16):
     from diffpure_tpu.models.ncsnpp import NCSNpp
     from diffpure_tpu.ops import fused_resblock as fr
 
@@ -56,15 +56,22 @@ def part1_gn_delta(batch=128, iters=4):
         fr.set_perf_skip_gn_stats(skip)
         fr.set_conv_form(form)
         try:
-            run = jax.jit(lambda p, xx: jnp.float32(
-                jnp.abs(model.apply(p, xx, t)).sum()))
+            # chain evals inside ONE jit so the ~20ms remote-dispatch RPC
+            # is amortized (single-eval dispatches are overhead-dominated
+            # on this backend — same lesson as scripts/perf_conv.py)
+            def chained(p, xx):
+                y = jax.lax.fori_loop(
+                    0, chain,
+                    lambda i, y: xx + 0.01 * model.apply(p, y, t), xx)
+                return jnp.float32(jnp.abs(y).sum())
+            run = jax.jit(chained)
             t0 = time.time()
             float(run(params, x))
             compile_s = time.time() - t0
             t0 = time.time()
             for _ in range(iters):
                 float(run(params, x))
-            dt = (time.time() - t0) / iters
+            dt = (time.time() - t0) / iters / chain
             out[f"eval_ms_{tag}"] = round(dt * 1e3, 2)
             print(f"{tag}: {dt * 1e3:.2f} ms/eval "
                   f"(compile {compile_s:.0f}s)", flush=True)
@@ -99,23 +106,32 @@ def _mm1_kernel(a_ref, w_ref, o_ref, *, R, M, K9, N):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _bench_kernel(kernel, a, w, out_shape, flops, iters=8):
+def _bench_kernel(kernel, a, w, out_shape, flops_per_step, iters=8,
+                  grids=(64, 320)):
+    """TFLOP/s from the wall-clock DELTA between two grid sizes of the
+    same kernel — cancels the fixed per-dispatch RPC overhead exactly
+    (~20ms on this remote backend, which swamps single-call timings)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    run = jax.jit(lambda a_, w_: pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(a_, w_).sum())
-    float(run(a, w))
-    t0 = time.time()
-    for _ in range(iters):
+    def timed(G):
+        run = jax.jit(lambda a_, w_: pl.pallas_call(
+            kernel,
+            grid=(G,),
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(a_, w_).sum())
         float(run(a, w))
-    dt = (time.time() - t0) / iters
-    return flops / dt / 1e12
+        t0 = time.time()
+        for _ in range(iters):
+            float(run(a, w))
+        return (time.time() - t0) / iters
+
+    t_lo, t_hi = timed(grids[0]), timed(grids[1])
+    dt = max(t_hi - t_lo, 1e-9) / (grids[1] - grids[0])
+    return flops_per_step / dt / 1e12
 
 
 def part2_mxu(peak_tflops=197.0):
