@@ -223,6 +223,40 @@ def bench_adm256_grad():
     return _timed(run, params, x, key, n_iters=1)
 
 
+def bench_adm256_ddim_grad():
+    """White-box gradient through the ACCELERATED ImageNet-256 purifier:
+    ddim50 respacing (8 respaced steps, abar-matched to t*=150) with
+    checkpoint-exact backprop — the practical 256px attack route
+    (ref respace.py:71-135; grad correctness unit-tested in
+    tests/test_purify.py's respaced-DDIM grad test). The full t*=150
+    gradient costs ~14.7 s/img (imagenet256_grad_of_purify_t150); this
+    route pays 8 evals + 8 recomputes instead of 150+150."""
+    from diffpure_tpu.models.adm_unet import ADMUNet, imagenet256_config
+    from diffpure_tpu.purify import PurifyConfig, purify
+    from diffpure_tpu.purify.runners import make_imagenet_diffusion
+
+    key = jax.random.PRNGKey(0)
+    model = ADMUNet(**imagenet256_config(use_bf16=True))
+    params = jax.eval_shape(lambda: model.init(
+        key, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,), jnp.int32)))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params)
+    diffusion = make_imagenet_diffusion(f"ddim{ADM_DDIM_RESPACE}")
+    cfg = PurifyConfig(diffusion_type="ddpm", t=ADM_DDIM_T,
+                       score_type="guided_diffusion",
+                       grad_mode="checkpoint")
+    x = jax.random.uniform(key, (ADM_GRAD_BATCH, 256, 256, 3)) * 2 - 1
+
+    @jax.jit
+    def run(params, xx, k):
+        g = jax.grad(lambda a: jnp.float32(purify(
+            lambda p, b, t: model.apply(p, b, t), params, a, k, cfg,
+            diffusion=diffusion, use_ddim=True).sum()))(xx)
+        return jnp.float32(jnp.abs(g).sum())
+
+    return _timed(run, params, x, key, n_iters=1)
+
+
 GRAD_BATCH = 16
 
 
@@ -369,6 +403,20 @@ def main():
         }
     except Exception as e:
         workloads["imagenet256_grad_of_purify_t150"] = {"error": repr(e)[:200]}
+
+    # --- ImageNet-256 accelerated white-box gradient (ddim50 respacing) -
+    try:
+        dt, compile_s = bench_adm256_ddim_grad()
+        workloads["imagenet256_ddim50_grad"] = {
+            "s_per_grad_img": round(dt / ADM_GRAD_BATCH, 3),
+            "grad_img_per_sec_per_chip": round(
+                ADM_GRAD_BATCH / dt / n_chips, 3),
+            "nfe": ADM_DDIM_T,
+            "batch": ADM_GRAD_BATCH,
+            "compile_s": round(compile_s, 1),
+        }
+    except Exception as e:
+        workloads["imagenet256_ddim50_grad"] = {"error": repr(e)[:200]}
 
     # --- CelebA-HQ DDPM-256 (the t*=500 BPDA protocol's UNet) -----------
     try:

@@ -93,6 +93,15 @@ def set_halo_conv(enable: bool) -> None:
     _HALO_CONV = enable
 
 
+def set_tiled_gn_min_bytes(n: Optional[int]) -> None:
+    """Override the tiled-GN/halo engage threshold (None restores the
+    default 2 MiB). Lets tests and the multichip dryrun exercise the
+    256px kernel family (tiled GN + halo conv) on dryrun-sized feature
+    maps instead of needing a >=2 MiB map per example."""
+    global _TILED_GN_MIN_BYTES
+    _TILED_GN_MIN_BYTES = (2 * 1024 * 1024) if n is None else int(n)
+
+
 def _use_tiled_gn(x) -> bool:
     from diffpure_tpu.models.layers import _fused_resblock_active
     if x.ndim != 4:
@@ -267,8 +276,12 @@ class AttentionBlockADM(nn.Module):
 
     The reference's 1x1 conv1d qkv/proj become Dense layers on the channel
     axis (translated from torch (out,in,1) weights). With use_flash the
-    4096-token blocks run the blockwise Pallas kernel
-    (ops/flash_attention.py) instead of materializing the score matrix.
+    >=1024-token blocks (32x32 feature maps — the largest the ImageNet-256
+    config attends at, ref script_util.py:170-172) run the blockwise
+    Pallas kernel (ops/flash_attention.py) on TPU instead of materializing
+    the score matrix; on other backends the dense qkv_attention path (same
+    fp32-softmax semantics) is used — interpret-mode Pallas would be
+    orders of magnitude slower there for zero benefit.
     """
     num_heads: int = 1
     num_head_channels: int = -1
@@ -288,10 +301,10 @@ class AttentionBlockADM(nn.Module):
         h_norm = GroupNorm32(name="norm")(h)
         qkv = nn.Dense(C * 3, dtype=self.dtype, name="qkv")(h_norm)
         order = "new" if self.use_new_attention_order else "legacy"
-        if self.use_flash and (H * W) >= 1024:
+        if (self.use_flash and (H * W) >= 1024
+                and jax.default_backend() == "tpu"):
             from diffpure_tpu.ops.flash_attention import qkv_flash_attention
-            a = qkv_flash_attention(qkv, heads, order=order,
-                                    interpret=jax.default_backend() != "tpu")
+            a = qkv_flash_attention(qkv, heads, order=order)
         else:
             a = qkv_attention(qkv, heads, order=order)
         a = nn.Dense(C, kernel_init=zero_init(), dtype=self.dtype,

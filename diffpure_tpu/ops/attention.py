@@ -12,9 +12,10 @@ numerically (SURVEY.md §7.1):
     [q(all heads), k(all), v(all)] (ref unet.py:369-397).
 
 All are expressed as batched matmuls (MXU) with fp32 softmax — XLA fuses the
-scale/softmax chain; sequence lengths here are <= 64*64 = 4096, so a
-flash-style Pallas kernel is a memory optimization, not a parallelism one
-(SURVEY.md §5.7); one is provided for the 4096-token ADM blocks.
+scale/softmax chain; sequence lengths here are <= 32*32 = 1024 (the
+ImageNet-256 config attends at ds 8/16/32, ref script_util.py:170-172), so a
+flash-style Pallas kernel is a memory optimization, not a parallelism one;
+one is provided for the >=1024-token ADM blocks (ops/flash_attention.py).
 """
 from __future__ import annotations
 

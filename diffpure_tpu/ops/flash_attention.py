@@ -1,11 +1,16 @@
 """Blockwise (flash-style) attention Pallas kernel.
 
-For the ADM UNet's 64x64 = 4096-token attention blocks at 256x256 inputs,
-materializing the (T, T) score matrix costs 4096^2 x heads x batch floats of
-HBM traffic per block. This kernel keeps the online-softmax running state
-(m, l, acc) in VMEM and never writes the score matrix — a memory
-optimization, not a parallelism one (SURVEY.md §5.7: no cross-chip
-attention sharding is warranted at these sizes).
+The ImageNet-256 ADM config attends at downsample factors 8/16/32, i.e.
+32x32 = **1024-token** sequences at most (ref
+guided_diffusion/script_util.py:170-172, attention_resolutions "32,16,8"
+with image_size 256); models/adm_unet.py engages this kernel at
+>= 1024 tokens. Materializing the (T, T) score matrix there costs
+T^2 x heads x batch floats of HBM traffic per block; this kernel keeps
+the online-softmax running state (m, l, acc) in VMEM and never writes the
+score matrix — a memory optimization, not a parallelism one (no
+cross-chip attention sharding is warranted at these sizes; the 4096-token
+figure previously quoted here, inherited from SURVEY.md §5.7, was wrong —
+pinned by tests/test_flash_attention.py::test_imagenet256_token_counts).
 
 Layout: q, k, v are (BH, T, D) — batch*heads flattened into the grid's
 first axis; D = head channels (64 for ADM -> padded to 128 lanes by Mosaic).
@@ -70,10 +75,10 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     THROUGH the ADM purifier (ref eval_sde_adv.py:103-110 with
     --diffusion_type sde), so this kernel carries a custom VJP. The
     backward recomputes exact softmax attention in fp32 and differentiates
-    it — the (T, T) score matrix is materialized transiently per
-    batch*head slice in the backward only, which at attack batch sizes is
-    well inside HBM and lets XLA fuse the whole chain; the forward stays
-    the online-softmax Pallas kernel.
+    it, chunked over the batch*head axis (lax.map over slabs of <= 32
+    heads) so the transiently materialized (chunk, T, T) score tensor
+    stays bounded regardless of attack batch size; the forward stays the
+    online-softmax Pallas kernel.
     """
     block_q = min(block_q, q.shape[1])
     block_k = min(block_k, q.shape[1])
@@ -105,12 +110,33 @@ def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
     return out, (q, k, v)
 
 
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for c in range(min(n, cap), 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
 def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _reference_attention(q_, k_, v_, scale),
-        q, k, v)
-    return vjp(g)
+    BH = q.shape[0]
+
+    def dense_vjp(args):
+        q_, k_, v_, g_ = args
+        _, vjp = jax.vjp(
+            lambda a, b, c: _reference_attention(a, b, c, scale),
+            q_, k_, v_)
+        return vjp(g_)
+
+    chunk = _largest_divisor_leq(BH, 32)
+    if chunk == BH:
+        return dense_vjp((q, k, v, g))
+    # bound the transient (chunk, T, T) score tensor: lax.map over slabs
+    shaped = lambda t: t.reshape(BH // chunk, chunk, *t.shape[1:])
+    dq, dk, dv = jax.lax.map(dense_vjp,
+                             (shaped(q), shaped(k), shaped(v), shaped(g)))
+    unshape = lambda t: t.reshape(BH, *t.shape[2:])
+    return unshape(dq), unshape(dk), unshape(dv)
 
 
 _flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -55,6 +55,23 @@ def main():
     ap.add_argument("--aa_iter", type=int, default=None,
                     help="AA-standard-suite iteration budget "
                          "(default: apgd_iter)")
+    ap.add_argument("--attacks", default=None,
+                    help="comma list of protocol attacks to run "
+                         "(apgd-eot,bpda,aa-standard); default: apgd-eot,"
+                         "bpda[,aa-standard with --standard]. Lets a rerun "
+                         "add one attack without repeating finished ones")
+    # distribution / threat-model overrides (take effect after --hard /
+    # --large presets so a de-saturation point can be dialed in exactly)
+    ap.add_argument("--eps", type=float, default=None)
+    ap.add_argument("--amp_min", type=float, default=None)
+    ap.add_argument("--amp_max", type=float, default=None)
+    ap.add_argument("--noise_std", type=float, default=None)
+    ap.add_argument("--freq", type=float, default=None)
+    ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--score_nf", type=int, default=None,
+                    help="score-model width override (cheap probes of a "
+                         "candidate regime before committing the flagship "
+                         "training budget)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -86,7 +103,9 @@ def main():
             defense_reps=8, apgd_dispatch=1)
     if args.score_steps:
         overrides["score_steps"] = args.score_steps
-    for k in ("apgd_iter", "eot_iter", "n_eval", "aa_iter"):
+    for k in ("apgd_iter", "eot_iter", "n_eval", "aa_iter", "eps",
+              "amp_min", "amp_max", "noise_std", "freq", "size",
+              "score_nf"):
         if getattr(args, k) is not None:
             overrides[k] = getattr(args, k)
     cfg = DemoConfig(**overrides)
@@ -151,9 +170,12 @@ def main():
                    "dose_response": curve}
     else:
         dtypes = ("sde", "dpm") if args.dpm else ("sde",)
-        attacks = ["apgd-eot", "bpda"]
-        if args.standard:
-            attacks.append("aa-standard")
+        if args.attacks is not None:
+            attacks = [a for a in args.attacks.split(",") if a]
+        else:
+            attacks = ["apgd-eot", "bpda"]
+            if args.standard:
+                attacks.append("aa-standard")
         results = run_demo_protocol(cfg, score_model, score_params, clf,
                                     clf_params, diffusion_types=dtypes,
                                     attacks=tuple(attacks),

@@ -77,14 +77,25 @@ def part1_gn_delta(batch=128, iters=4, chain=16):
                   f"(compile {compile_s:.0f}s)", flush=True)
         except Exception as e:  # noqa: BLE001 — record compile OOMs
             out[f"eval_ms_{tag}"] = None
-            out[f"error_{tag}"] = repr(e)[:200]
-            print(f"{tag}: FAILED {repr(e)[:120]}", flush=True)
+            out[f"error_{tag}"] = _one_line_reason(e)
+            print(f"{tag}: FAILED {out[f'error_{tag}']}", flush=True)
     fr.set_perf_skip_gn_stats(False)
     fr.set_conv_form("mm9")
-    if out.get("eval_ms_gn_free"):
+    if out.get("eval_ms_gn_free") and out.get("eval_ms_shipped"):
         out["gn_stats_cost_ms"] = round(
             out["eval_ms_shipped"] - out["eval_ms_gn_free"], 2)
     return out
+
+
+def _one_line_reason(e: Exception) -> str:
+    """Publishable one-line failure reason: exception type + first
+    non-empty message line, ANSI escapes stripped (a raw MosaicError blob
+    in a results artifact helps nobody)."""
+    import re
+    msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
+    first = next((ln.strip() for ln in msg.splitlines() if ln.strip()),
+                 "")
+    return f"{type(e).__name__}: {first[:160]}"
 
 
 def _mm9_kernel(a_ref, w_ref, o_ref, *, R, M, K, N):
@@ -165,11 +176,22 @@ def part2_mxu(peak_tflops=197.0):
 
 def main():
     out = {"device": getattr(jax.devices()[0], "device_kind", "?")}
-    out.update(part2_mxu())
-    out.update(part1_gn_delta())
     path = "docs/perf_residual.json"
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+
+    def flush():
+        # write incrementally so a crash in a later part never loses the
+        # numbers a finished part already measured
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+
+    for name, part in (("part2_mxu", part2_mxu),
+                       ("part1_gn_delta", part1_gn_delta)):
+        try:
+            out.update(part())
+        except Exception as e:  # noqa: BLE001
+            out[f"error_{name}"] = _one_line_reason(e)
+            print(f"{name}: FAILED {out[f'error_{name}']}", flush=True)
+        flush()
     print(json.dumps(out))
 
 

@@ -98,10 +98,16 @@ def test_adm_resblock_halo_with_skip_projection(rng):
         L.set_fused_resblock("auto")
     L.set_fused_resblock(True)
     adm_unet.set_halo_conv(True)
+    # the 32x32x256 input is 1 MiB fp32 — below the default 2 MiB
+    # tiled-GN gate, which would silently route BOTH branches through the
+    # unfused path and make this test vacuous; lower the gate so the
+    # halo-fused path is actually exercised
+    adm_unet.set_tiled_gn_min_bytes(512 * 1024)
     try:
         got = blk.apply(params, x, emb)
     finally:
         L.set_fused_resblock("auto")
+        adm_unet.set_tiled_gn_min_bytes(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
