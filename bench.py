@@ -315,119 +315,141 @@ def bench_celebahq():
 
 
 def main():
+    # `--only <substring>` runs just the matching secondary workload(s)
+    # (skipping the headline) — lets the hardware queue measure one
+    # workload without paying for the full suite. Default: everything.
+    import sys
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+
+    def want(name: str) -> bool:
+        return only is None or only in name
+
     n_chips = jax.device_count()
     peak = _peak_tflops()
 
     # --- headline: CIFAR Euler-100 --------------------------------------
-    dt, compile_s, nfe = bench_cifar(tag="euler")
-    imgs_per_sec_chip = BATCH / dt / n_chips
-    tflops = CIFAR_GFLOP_PER_IMG_EVAL * BATCH * nfe / dt / 1e3 / n_chips
-    out = {
-        "metric": "purified_images_per_sec_per_chip",
-        "value": round(imgs_per_sec_chip, 3),
-        "unit": f"img/s/chip (CIFAR-10 NCSN++ bf16 t*={T_STAR}, "
-                f"batch {BATCH})",
-        "vs_baseline": round(imgs_per_sec_chip / REFERENCE_IMGS_PER_SEC_V100,
-                             3),
-        "ms_per_unet_eval": round(dt / nfe * 1e3, 2),
-        "compile_s": round(compile_s, 1),
-        "model_tflops_per_s": round(tflops, 1),
-        "mfu": round(tflops / peak, 3),
-        "gflop_per_img_per_eval": CIFAR_GFLOP_PER_IMG_EVAL,
-    }
+    if only is None:
+        dt, compile_s, nfe = bench_cifar(tag="euler")
+        imgs_per_sec_chip = BATCH / dt / n_chips
+        tflops = CIFAR_GFLOP_PER_IMG_EVAL * BATCH * nfe / dt / 1e3 / n_chips
+        out = {
+            "metric": "purified_images_per_sec_per_chip",
+            "value": round(imgs_per_sec_chip, 3),
+            "unit": f"img/s/chip (CIFAR-10 NCSN++ bf16 t*={T_STAR}, "
+                    f"batch {BATCH})",
+            "vs_baseline": round(
+                imgs_per_sec_chip / REFERENCE_IMGS_PER_SEC_V100, 3),
+            "ms_per_unet_eval": round(dt / nfe * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+            "model_tflops_per_s": round(tflops, 1),
+            "mfu": round(tflops / peak, 3),
+            "gflop_per_img_per_eval": CIFAR_GFLOP_PER_IMG_EVAL,
+        }
+    else:
+        out = {"metric": f"only:{only}", "value": None, "unit": "partial",
+               "vs_baseline": None}
 
     workloads = {}
 
     # --- CIFAR DPM-Solver++(2M) @ 20 NFE (accelerated purification) -----
-    try:
-        dt, compile_s, nfe = bench_cifar(n_steps=DPM_STEPS, tag="dpm")
-        workloads["cifar_dpmpp_20nfe"] = {
-            "img_per_sec_per_chip": round(BATCH / dt / n_chips, 1),
-            "vs_baseline": round(BATCH / dt / n_chips
-                                 / REFERENCE_IMGS_PER_SEC_V100, 2),
-            "ms_per_unet_eval": round(dt / nfe * 1e3, 2),
-            "compile_s": round(compile_s, 1),
-        }
-    except Exception as e:  # secondary workloads must not kill the headline
-        workloads["cifar_dpmpp_20nfe"] = {"error": repr(e)[:200]}
+    if want("cifar_dpmpp_20nfe"):
+        try:
+            dt, compile_s, nfe = bench_cifar(n_steps=DPM_STEPS, tag="dpm")
+            workloads["cifar_dpmpp_20nfe"] = {
+                "img_per_sec_per_chip": round(BATCH / dt / n_chips, 1),
+                "vs_baseline": round(BATCH / dt / n_chips
+                                     / REFERENCE_IMGS_PER_SEC_V100, 2),
+                "ms_per_unet_eval": round(dt / nfe * 1e3, 2),
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:  # secondary workloads must not kill the headline
+            workloads["cifar_dpmpp_20nfe"] = {"error": repr(e)[:200]}
 
     # --- gradient through purify (the attack path, docs/GRADIENTS.md) ---
-    try:
-        dt, compile_s = bench_cifar_grad()
-        workloads["cifar_grad_of_purify_t100"] = {
-            "grad_img_per_sec_per_chip": round(GRAD_BATCH / dt / n_chips, 2),
-            "s_per_grad_img": round(dt / GRAD_BATCH, 4),
-            "batch": GRAD_BATCH,
-            "compile_s": round(compile_s, 1),
-        }
-    except Exception as e:
-        workloads["cifar_grad_of_purify_t100"] = {"error": repr(e)[:200]}
+    if want("cifar_grad_of_purify_t100"):
+        try:
+            dt, compile_s = bench_cifar_grad()
+            workloads["cifar_grad_of_purify_t100"] = {
+                "grad_img_per_sec_per_chip": round(GRAD_BATCH / dt / n_chips, 2),
+                "s_per_grad_img": round(dt / GRAD_BATCH, 4),
+                "batch": GRAD_BATCH,
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            workloads["cifar_grad_of_purify_t100"] = {"error": repr(e)[:200]}
 
     # --- ImageNet-256 ADM t*=150 (the north-star's second axis) ---------
-    try:
-        dt, compile_s = bench_adm256()
-        workloads["imagenet256_adm_t150"] = {
-            "img_per_sec_per_chip": round(ADM_BATCH / dt / n_chips, 3),
-            "vs_baseline": round(ADM_BATCH / dt / n_chips
-                                 / ADM_REFERENCE_IMGS_PER_SEC_V100, 2),
-            "ms_per_unet_eval": round(dt / ADM_T_STAR * 1e3, 1),
-            "batch": ADM_BATCH,
-            "compile_s": round(compile_s, 1),
-        }
-    except Exception as e:
-        workloads["imagenet256_adm_t150"] = {"error": repr(e)[:200]}
+    if want("imagenet256_adm_t150"):
+        try:
+            dt, compile_s = bench_adm256()
+            workloads["imagenet256_adm_t150"] = {
+                "img_per_sec_per_chip": round(ADM_BATCH / dt / n_chips, 3),
+                "vs_baseline": round(ADM_BATCH / dt / n_chips
+                                     / ADM_REFERENCE_IMGS_PER_SEC_V100, 2),
+                "ms_per_unet_eval": round(dt / ADM_T_STAR * 1e3, 1),
+                "batch": ADM_BATCH,
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            workloads["imagenet256_adm_t150"] = {"error": repr(e)[:200]}
 
     # --- ImageNet-256 accelerated purification (ddim50 respacing) -------
-    try:
-        dt, compile_s = bench_adm256_ddim()
-        workloads["imagenet256_ddim50_t8"] = {
-            "img_per_sec_per_chip": round(ADM_BATCH / dt / n_chips, 3),
-            "vs_baseline": round(ADM_BATCH / dt / n_chips
-                                 / ADM_REFERENCE_IMGS_PER_SEC_V100, 2),
-            "nfe": ADM_DDIM_T,
-            "batch": ADM_BATCH,
-            "compile_s": round(compile_s, 1),
-        }
-    except Exception as e:
-        workloads["imagenet256_ddim50_t8"] = {"error": repr(e)[:200]}
+    if want("imagenet256_ddim50_t8"):
+        try:
+            dt, compile_s = bench_adm256_ddim()
+            workloads["imagenet256_ddim50_t8"] = {
+                "img_per_sec_per_chip": round(ADM_BATCH / dt / n_chips, 3),
+                "vs_baseline": round(ADM_BATCH / dt / n_chips
+                                     / ADM_REFERENCE_IMGS_PER_SEC_V100, 2),
+                "nfe": ADM_DDIM_T,
+                "batch": ADM_BATCH,
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            workloads["imagenet256_ddim50_t8"] = {"error": repr(e)[:200]}
 
     # --- ImageNet-256 white-box gradient (the reference ImageNet AA path)
-    try:
-        dt, compile_s = bench_adm256_grad()
-        workloads["imagenet256_grad_of_purify_t150"] = {
-            "s_per_grad_img": round(dt / ADM_GRAD_BATCH, 2),
-            "grad_img_per_sec_per_chip": round(
-                ADM_GRAD_BATCH / dt / n_chips, 4),
-            "batch": ADM_GRAD_BATCH,
-            "compile_s": round(compile_s, 1),
-        }
-    except Exception as e:
-        workloads["imagenet256_grad_of_purify_t150"] = {"error": repr(e)[:200]}
+    if want("imagenet256_grad_of_purify_t150"):
+        try:
+            dt, compile_s = bench_adm256_grad()
+            workloads["imagenet256_grad_of_purify_t150"] = {
+                "s_per_grad_img": round(dt / ADM_GRAD_BATCH, 2),
+                "grad_img_per_sec_per_chip": round(
+                    ADM_GRAD_BATCH / dt / n_chips, 4),
+                "batch": ADM_GRAD_BATCH,
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            workloads["imagenet256_grad_of_purify_t150"] = {"error": repr(e)[:200]}
 
     # --- ImageNet-256 accelerated white-box gradient (ddim50 respacing) -
-    try:
-        dt, compile_s = bench_adm256_ddim_grad()
-        workloads["imagenet256_ddim50_grad"] = {
-            "s_per_grad_img": round(dt / ADM_GRAD_BATCH, 3),
-            "grad_img_per_sec_per_chip": round(
-                ADM_GRAD_BATCH / dt / n_chips, 3),
-            "nfe": ADM_DDIM_T,
-            "batch": ADM_GRAD_BATCH,
-            "compile_s": round(compile_s, 1),
-        }
-    except Exception as e:
-        workloads["imagenet256_ddim50_grad"] = {"error": repr(e)[:200]}
+    if want("imagenet256_ddim50_grad"):
+        try:
+            dt, compile_s = bench_adm256_ddim_grad()
+            workloads["imagenet256_ddim50_grad"] = {
+                "s_per_grad_img": round(dt / ADM_GRAD_BATCH, 3),
+                "grad_img_per_sec_per_chip": round(
+                    ADM_GRAD_BATCH / dt / n_chips, 3),
+                "nfe": ADM_DDIM_T,
+                "batch": ADM_GRAD_BATCH,
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            workloads["imagenet256_ddim50_grad"] = {"error": repr(e)[:200]}
 
     # --- CelebA-HQ DDPM-256 (the t*=500 BPDA protocol's UNet) -----------
-    try:
-        dt, compile_s = bench_celebahq()
-        workloads["celebahq_ddpm256_bf16"] = {
-            "ms_per_unet_eval": round(dt / CELEBA_T_STAR * 1e3, 2),
-            "batch": CELEBA_BATCH,
-            "compile_s": round(compile_s, 1),
-        }
-    except Exception as e:
-        workloads["celebahq_ddpm256_bf16"] = {"error": repr(e)[:200]}
+    if want("celebahq_ddpm256_bf16"):
+        try:
+            dt, compile_s = bench_celebahq()
+            workloads["celebahq_ddpm256_bf16"] = {
+                "ms_per_unet_eval": round(dt / CELEBA_T_STAR * 1e3, 2),
+                "batch": CELEBA_BATCH,
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            workloads["celebahq_ddpm256_bf16"] = {"error": repr(e)[:200]}
 
     out["workloads"] = workloads
     print(json.dumps(out))

@@ -86,6 +86,11 @@ class DemoConfig:
     # one 20-iter x EOT3 dispatch of the 107M fp32 purifier runs ~8 min
     # and the execution watchdog kills the worker mid-attack.
     apgd_dispatch: int = 0
+    # None: the full standard suite (apgd-ce, apgd-t, fab-t, square).
+    # A tuple selects a subset via AutoAttack version='custom' — used to
+    # resume a crashed suite run: when a finished attack left the robust
+    # set unchanged, rerunning only the remaining attacks is equivalent.
+    aa_attacks: Optional[Tuple[str, ...]] = None
     seed: int = 0
 
 
@@ -323,9 +328,12 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
             # through the purifier with reduced budgets — exercises the
             # robust-subset phase protocol end-to-end on a real defense
             t0 = time.time()
+            aa_version = "custom" if cfg.aa_attacks else "standard"
             aa_std = AutoAttack(
                 defended,
-                AutoAttackConfig(version="standard", eps=cfg.eps,
+                AutoAttackConfig(version=aa_version,
+                                 attacks_to_run=cfg.aa_attacks or (),
+                                 eps=cfg.eps,
                                  n_iter=cfg.aa_iter or cfg.apgd_iter,
                                  eot_iter=1, square_n_queries=300,
                                  fab_n_target_classes=min(
@@ -342,6 +350,8 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
                 x01, y, jax.random.fold_in(key, 15))
             res["robust_acc_aa_standard"] = float(
                 np.asarray(rob_std).mean())
+            if cfg.aa_attacks:
+                res["aa_attacks_run"] = list(cfg.aa_attacks)
             log(f"[{tag}] defended robust (AA standard, 4 attacks): "
                 f"{res['robust_acc_aa_standard']:.2%} "
                 f"({time.time() - t0:.0f}s)")

@@ -60,6 +60,11 @@ def main():
                          "(apgd-eot,bpda,aa-standard); default: apgd-eot,"
                          "bpda[,aa-standard with --standard]. Lets a rerun "
                          "add one attack without repeating finished ones")
+    ap.add_argument("--aa_attacks", default=None,
+                    help="comma subset of the AA standard suite "
+                         "(apgd-ce,apgd-t,fab-t,square) to run via "
+                         "version=custom — resume a crashed suite whose "
+                         "finished attacks left the robust set unchanged")
     # distribution / threat-model overrides (take effect after --hard /
     # --large presets so a de-saturation point can be dialed in exactly)
     ap.add_argument("--eps", type=float, default=None)
@@ -108,6 +113,9 @@ def main():
               "score_nf"):
         if getattr(args, k) is not None:
             overrides[k] = getattr(args, k)
+    if args.aa_attacks:
+        overrides["aa_attacks"] = tuple(
+            a for a in args.aa_attacks.split(",") if a)
     cfg = DemoConfig(**overrides)
     print(f"config: {cfg}", flush=True)
     print(f"platform: {jax.devices()[0].platform} "

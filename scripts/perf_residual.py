@@ -99,21 +99,35 @@ def _one_line_reason(e: Exception) -> str:
 
 
 def _mm9_kernel(a_ref, w_ref, o_ref, *, R, M, K, N):
-    """R repeats of 9 shifted-style (M,K)@(K,N) matmuls from VMEM."""
+    """R repeats of 9 shifted-style (M,K)@(K,N) matmuls from VMEM.
+
+    Each repeat's LHS depends on the previous repeat's accumulator —
+    without that serial dependence the compiler CSEs the R identical
+    dot-products down to one, and the microbench reports impossible
+    >10x-peak TFLOP/s (the bug in the first r5 run of this script).
+    Requires N == K so acc can feed back into the LHS shape."""
+    assert N == K
     acc = jnp.zeros((M, N), jnp.float32)
+    x = a_ref[...]
     for r in range(R):
         for k in range(9):
-            acc = acc + jnp.dot(a_ref[...], w_ref[k],
+            acc = acc + jnp.dot(x, w_ref[k],
                                 preferred_element_type=jnp.float32)
+        x = x + (acc * 1e-30).astype(x.dtype)
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
 def _mm1_kernel(a_ref, w_ref, o_ref, *, R, M, K9, N):
-    """R repeats of the im2col-form single (M,9K)@(9K,N) matmul."""
+    """R repeats of the im2col-form single (M,9K)@(9K,N) matmul, with the
+    same anti-CSE serial dependence as _mm9_kernel (acc tiled 9x along
+    the K axis to match the (M,9K) LHS)."""
+    assert K9 == 9 * N
     acc = jnp.zeros((M, N), jnp.float32)
+    x = a_ref[...]
     for r in range(R):
-        acc = acc + jnp.dot(a_ref[...], w_ref[...],
+        acc = acc + jnp.dot(x, w_ref[...],
                             preferred_element_type=jnp.float32)
+        x = x + jnp.tile(acc * 1e-30, (1, 9)).astype(x.dtype)
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -157,6 +171,10 @@ def part2_mxu(peak_tflops=197.0):
         tf = _bench_kernel(
             functools.partial(_mm9_kernel, R=R, M=M, K=K, N=N),
             a, w9, (M, N), flops)
+        if tf > peak_tflops:
+            raise RuntimeError(
+                f"mm9 measured {tf:.0f} TFLOP/s > {peak_tflops} peak — "
+                f"the kernel work was optimized away; numbers invalid")
         out[f"mm9_{M}x{K}x{N}_tflops"] = round(tf, 1)
         out[f"mm9_{M}x{K}x{N}_mxu_eff"] = round(tf / peak_tflops, 3)
         print(f"9x({M},{K})@({K},{N}): {tf:.1f} TFLOP/s "
@@ -167,6 +185,10 @@ def part2_mxu(peak_tflops=197.0):
         tf1 = _bench_kernel(
             functools.partial(_mm1_kernel, R=R, M=M, K9=9 * K, N=N),
             a1, w1, (M, N), flops)
+        if tf1 > peak_tflops:
+            raise RuntimeError(
+                f"mm1 measured {tf1:.0f} TFLOP/s > {peak_tflops} peak — "
+                f"the kernel work was optimized away; numbers invalid")
         out[f"mm1_{M}x{9 * K}x{N}_tflops"] = round(tf1, 1)
         out[f"mm1_{M}x{9 * K}x{N}_mxu_eff"] = round(tf1 / peak_tflops, 3)
         print(f"im2col ({M},{9 * K})@({9 * K},{N}): {tf1:.1f} TFLOP/s "
@@ -175,8 +197,17 @@ def part2_mxu(peak_tflops=197.0):
 
 
 def main():
+    # --part2-only: re-measure just the MXU microbench and merge into the
+    # existing artifact (used to replace the CSE-invalidated mm numbers
+    # without re-paying part 1's full-model compiles)
+    part2_only = "--part2-only" in sys.argv
     out = {"device": getattr(jax.devices()[0], "device_kind", "?")}
     path = "docs/perf_residual.json"
+    if part2_only and os.path.exists(path):
+        with open(path) as f:
+            out.update(json.load(f))
+        out = {k: v for k, v in out.items()
+               if not (k.startswith(("mm9_", "mm1_", "error_part2")))}
 
     def flush():
         # write incrementally so a crash in a later part never loses the
@@ -184,8 +215,9 @@ def main():
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
 
-    for name, part in (("part2_mxu", part2_mxu),
-                       ("part1_gn_delta", part1_gn_delta)):
+    parts = (("part2_mxu", part2_mxu),) if part2_only else \
+        (("part2_mxu", part2_mxu), ("part1_gn_delta", part1_gn_delta))
+    for name, part in parts:
         try:
             out.update(part())
         except Exception as e:  # noqa: BLE001
