@@ -53,10 +53,13 @@ class AutoAttack:
     """Suite runner. model_fn(x01, key) -> logits."""
 
     def __init__(self, model_fn: ModelFn, cfg: AutoAttackConfig,
-                 log_fn=print):
+                 log_fn=print, on_phase=None):
         self.model_fn = model_fn
         self.cfg = cfg
         self.log = log_fn
+        # called with phase_results after each finished attack phase —
+        # hook for persisting suite progress mid-run
+        self.on_phase = on_phase
         if cfg.version == "standard":
             self.attacks = ["apgd-ce", "apgd-t", "fab-t", "square"]
         elif cfg.version == "rand":
@@ -119,6 +122,10 @@ class AutoAttack:
         n = x.shape[0]
         bs = bs or n
         self.phase_batch_sizes: List[int] = []  # per phase: examples attacked
+        # per finished phase: (attack name, robust acc after it, attacked
+        # count, seconds) — lets a caller persist suite progress so a
+        # killed multi-hour run still leaves its finished phases on disk
+        self.phase_results: List[Tuple[str, float, int, float]] = []
 
         for i, name in enumerate(self.attacks):
             idx = np.nonzero(robust)[0]
@@ -141,6 +148,11 @@ class AutoAttack:
                 robust[take[found]] = False
             self.log(f"{name}: robust accuracy {robust.mean():.2%} "
                      f"(attacked {idx.size}, {time.time() - t0:.1f}s)")
+            self.phase_results.append(
+                (name, float(robust.mean()), int(idx.size),
+                 round(time.time() - t0, 1)))
+            if self.on_phase is not None:
+                self.on_phase(self.phase_results)
 
         return jnp.asarray(x_adv), jnp.asarray(robust)
 

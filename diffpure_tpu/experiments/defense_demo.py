@@ -91,6 +91,11 @@ class DemoConfig:
     # resume a crashed suite run: when a finished attack left the robust
     # set unchanged, rerunning only the remaining attacks is equivalent.
     aa_attacks: Optional[Tuple[str, ...]] = None
+    # Resume legs that rerun only an attack subset don't need to re-pay the
+    # defended clean/transfer accounting (defense_reps stochastic votes over
+    # the full eval set — ~25 min at flagship scale): the numbers already
+    # exist in the first leg's artifact and do not feed the attack.
+    skip_accounting: bool = False
     seed: int = 0
 
 
@@ -247,13 +252,19 @@ def _vote_acc(model_fn, x01, y, key, reps: int):
 
 def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
                       clf_params, *, attacks=("apgd-eot", "bpda"),
-                      diffusion_types=("sde",), log=print) -> dict:
+                      diffusion_types=("sde",), log=print,
+                      checkpoint=None) -> dict:
     """The reference measurement: clean/robust accuracy of the classifier
     alone vs purifier+classifier under the same attacks.
 
     Returns a dict of accuracies per (diffusion_type, attack).  With
     several diffusion_types (e.g. ("sde", "dpm")), also settles
     defense-equivalence of accelerated purification on trained weights.
+
+    `checkpoint(results)` (optional) is invoked with the partial results
+    dict after every finished phase — attack phases at flagship scale run
+    30-90 min each, and two suite runs have already been lost whole to a
+    session death because nothing persisted until the end.
     """
     key = jax.random.fold_in(_keys(cfg), 3)
     spec = demo_spec(cfg)
@@ -262,6 +273,7 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
 
     clf_fn = lambda x01_, k: clf.apply(clf_params, x01_)  # noqa: E731
     results: dict = {"config": dataclasses.asdict(cfg)}
+    ckpt = checkpoint or (lambda r: None)
 
     results["clean_acc_undefended"] = float(
         (jnp.argmax(clf_fn(x01, key), -1) == y).mean())
@@ -282,6 +294,7 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
     results["robust_acc_undefended"] = float(np.asarray(rob_base).mean())
     log(f"robust acc (undefended, eps={cfg.eps * 255:.0f}/255): "
         f"{results['robust_acc_undefended']:.2%} ({time.time() - t0:.0f}s)")
+    ckpt(results)
 
     for dtype in diffusion_types:
         n_steps = 20 if dtype == "dpm" else None
@@ -290,19 +303,22 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
                                        clf_params, diffusion_type=dtype,
                                        n_steps=n_steps)
         res: dict = {}
+        results[tag] = res  # res is mutated in place; checkpoints see it
 
         t0 = time.time()
-        res["clean_acc"], res["clean_acc_single"] = _vote_acc(
-            defended, x01, y, jax.random.fold_in(key, 10),
-            cfg.defense_reps)
-        # transfer: does purification undo perturbations crafted against
-        # the bare classifier? (sanity check, not the headline number)
-        res["robust_acc_transfer"], _ = _vote_acc(
-            defended, jnp.asarray(x_adv_base), y,
-            jax.random.fold_in(key, 11), cfg.defense_reps)
-        log(f"[{tag}] defended clean: {res['clean_acc']:.2%}, "
-            f"transfer-attack robust: {res['robust_acc_transfer']:.2%} "
-            f"({time.time() - t0:.0f}s)")
+        if not cfg.skip_accounting:
+            res["clean_acc"], res["clean_acc_single"] = _vote_acc(
+                defended, x01, y, jax.random.fold_in(key, 10),
+                cfg.defense_reps)
+            # transfer: does purification undo perturbations crafted against
+            # the bare classifier? (sanity check, not the headline number)
+            res["robust_acc_transfer"], _ = _vote_acc(
+                defended, jnp.asarray(x_adv_base), y,
+                jax.random.fold_in(key, 11), cfg.defense_reps)
+            log(f"[{tag}] defended clean: {res['clean_acc']:.2%}, "
+                f"transfer-attack robust: {res['robust_acc_transfer']:.2%} "
+                f"({time.time() - t0:.0f}s)")
+            ckpt(results)
 
         if "apgd-eot" in attacks:
             # white-box adaptive: APGD with EOT differentiates THROUGH the
@@ -322,6 +338,7 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
             log(f"[{tag}] defended robust (APGD-CE EOT{cfg.eot_iter} "
                 f"white-box): {res['robust_acc_apgd_eot']:.2%} "
                 f"({time.time() - t0:.0f}s)")
+            ckpt(results)
 
         if "aa-standard" in attacks:
             # the full standard suite (APGD-CE, APGD-T, FAB-T, Square)
@@ -329,6 +346,13 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
             # robust-subset phase protocol end-to-end on a real defense
             t0 = time.time()
             aa_version = "custom" if cfg.aa_attacks else "standard"
+
+            def _on_phase(phase_results, _res=res):
+                _res["aa_per_attack"] = [
+                    {"attack": n, "robust_acc": acc, "attacked": k,
+                     "wall_s": w} for n, acc, k, w in phase_results]
+                ckpt(results)
+
             aa_std = AutoAttack(
                 defended,
                 AutoAttackConfig(version=aa_version,
@@ -345,7 +369,8 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
                                  square_iters_per_dispatch=(
                                      cfg.apgd_dispatch * 8
                                      if cfg.apgd_dispatch else 0)),
-                log_fn=lambda s: log(f"  [aa-std] {s}"))
+                log_fn=lambda s: log(f"  [aa-std] {s}"),
+                on_phase=_on_phase)
             _, rob_std = aa_std.run_standard_evaluation(
                 x01, y, jax.random.fold_in(key, 15))
             res["robust_acc_aa_standard"] = float(
@@ -355,6 +380,7 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
             log(f"[{tag}] defended robust (AA standard, 4 attacks): "
                 f"{res['robust_acc_aa_standard']:.2%} "
                 f"({time.time() - t0:.0f}s)")
+            ckpt(results)
 
         if "bpda" in attacks:
             from diffpure_tpu.attacks.bpda_eot import (BPDAEOTConfig,
@@ -369,6 +395,6 @@ def run_demo_protocol(cfg: DemoConfig, score_model, score_params, clf,
             res["robust_acc_bpda"] = float(class_batch[-1].mean())
             log(f"[{tag}] defended robust (BPDA+EOT): "
                 f"{res['robust_acc_bpda']:.2%} ({time.time() - t0:.0f}s)")
+            ckpt(results)
 
-        results[tag] = res
     return results

@@ -60,6 +60,11 @@ def main():
                          "(apgd-eot,bpda,aa-standard); default: apgd-eot,"
                          "bpda[,aa-standard with --standard]. Lets a rerun "
                          "add one attack without repeating finished ones")
+    ap.add_argument("--skip_accounting", action="store_true",
+                    help="skip the defended clean/transfer vote accounting "
+                         "(a resume leg rerunning only an attack subset "
+                         "already has those numbers in the first leg's "
+                         "artifact)")
     ap.add_argument("--aa_attacks", default=None,
                     help="comma subset of the AA standard suite "
                          "(apgd-ce,apgd-t,fab-t,square) to run via "
@@ -116,6 +121,8 @@ def main():
     if args.aa_attacks:
         overrides["aa_attacks"] = tuple(
             a for a in args.aa_attacks.split(",") if a)
+    if args.skip_accounting:
+        overrides["skip_accounting"] = True
     cfg = DemoConfig(**overrides)
     print(f"config: {cfg}", flush=True)
     print(f"platform: {jax.devices()[0].platform} "
@@ -184,10 +191,23 @@ def main():
             attacks = ["apgd-eot", "bpda"]
             if args.standard:
                 attacks.append("aa-standard")
+
+        # persist partial results after every finished phase: attack
+        # phases run 30-90 min each at flagship scale and two suite runs
+        # have been lost whole to session deaths with nothing on disk
+        def _write_partial(partial):
+            blob = dict(partial)
+            blob["partial"] = True
+            blob["wall_s"] = round(time.time() - t0, 1)
+            blob["platform"] = jax.devices()[0].platform
+            with open(os.path.join(args.out, "results.json"), "w") as f:
+                json.dump(blob, f, indent=2)
+
         results = run_demo_protocol(cfg, score_model, score_params, clf,
                                     clf_params, diffusion_types=dtypes,
                                     attacks=tuple(attacks),
-                                    log=lambda s: print(s, flush=True))
+                                    log=lambda s: print(s, flush=True),
+                                    checkpoint=_write_partial)
     results["wall_s"] = round(time.time() - t0, 1)
     results["platform"] = jax.devices()[0].platform
 

@@ -206,8 +206,11 @@ def main():
     if part2_only and os.path.exists(path):
         with open(path) as f:
             out.update(json.load(f))
+        # note_mm documented the withdrawn CSE-invalidated numbers; it
+        # must not survive next to freshly measured mm9_/mm1_ fields
         out = {k: v for k, v in out.items()
-               if not (k.startswith(("mm9_", "mm1_", "error_part2")))}
+               if not (k.startswith(("mm9_", "mm1_", "error_part2",
+                                     "note_mm")))}
 
     def flush():
         # write incrementally so a crash in a later part never loses the

@@ -193,3 +193,57 @@ class TestDeSaturatedRegime:
         assert rob_def >= undef + 0.15, (undef, rob_def)  # defense helps
         # ... but does NOT saturate: the attack visibly wins ground
         assert rob_def <= clean_def - 0.10, (clean_def, rob_def)
+
+
+class TestProtocolCheckpointing:
+    def test_checkpoint_fires_per_phase(self):
+        """run_demo_protocol(checkpoint=...) persists partial results after
+        every finished phase, and the AA-suite on_phase hook lands
+        per-attack robust accuracies incrementally — the mechanism that
+        keeps a killed multi-hour flagship suite run from stranding its
+        finished phases (two chip runs were lost that way before it
+        existed). Tiny random-init models: this guards plumbing, not
+        accuracy."""
+        from diffpure_tpu.experiments.defense_demo import (
+            DemoConfig, run_demo_protocol, train_demo_classifier)
+        from diffpure_tpu.models.ncsnpp import NCSNpp
+
+        cfg = DemoConfig(size=8, t_star=2, n_eval=4, apgd_iter=1,
+                         eot_iter=1, aa_iter=1, defense_reps=2,
+                         score_nf=8, score_ch_mult=(1, 2), score_blocks=1,
+                         clf_steps=200, clf_train_size=128,
+                         aa_attacks=("apgd-ce", "apgd-t"))
+        key = jax.random.PRNGKey(0)
+        # a minimally-trained classifier: the suite's robust-subset loop
+        # exits before ANY phase when initial accuracy is 0% (random init)
+        clf, clf_params = train_demo_classifier(cfg)
+        score = NCSNpp(image_size=8, nf=8, ch_mult=(1, 2),
+                       num_res_blocks=1, attn_resolutions=(8,),
+                       num_scales=1000, dropout=0.0)
+        score_params = score.init(key, jnp.zeros((1, 8, 8, 3)),
+                                  jnp.zeros((1,)))
+
+        snapshots = []
+        results = run_demo_protocol(
+            cfg, score, score_params, clf, clf_params,
+            attacks=("aa-standard",), log=lambda s: None,
+            checkpoint=lambda r: snapshots.append(
+                jax.tree_util.tree_map(lambda v: v, r)))
+
+        # one checkpoint after the undefended baseline, one after the
+        # accounting phase, one per AA attack phase, one after the suite
+        assert len(snapshots) >= 4, len(snapshots)
+        # the baseline checkpoint already carries the undefended numbers
+        assert "robust_acc_undefended" in snapshots[0]
+        # per-attack suite progress landed incrementally via on_phase
+        per_attack = results["sde"]["aa_per_attack"]
+        # a non-empty prefix of the requested attacks (the suite legally
+        # stops early if an attack empties the robust set)
+        names = [p["attack"] for p in per_attack]
+        assert names and names == ["apgd-ce", "apgd-t"][:len(names)], names
+        assert all(0.0 <= p["robust_acc"] <= 1.0 for p in per_attack)
+        # an intermediate snapshot (post-apgd-ce) saw exactly one finished
+        # attack — incremental, not end-of-suite
+        assert any(len(s.get("sde", {}).get("aa_per_attack", [])) == 1
+                   for s in snapshots)
+        assert "robust_acc_aa_standard" in results["sde"]
