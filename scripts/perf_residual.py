@@ -101,14 +101,26 @@ def _one_line_reason(e: Exception) -> str:
 def _mm9_kernel(a_ref, w_ref, o_ref, *, R, M, K, N):
     """R repeats of 9 shifted-style (M,K)@(K,N) matmuls from VMEM.
 
-    Each repeat's LHS depends on the previous repeat's accumulator —
-    without that serial dependence the compiler CSEs the R identical
-    dot-products down to one, and the microbench reports impossible
-    >10x-peak TFLOP/s (the bug in the first r5 run of this script).
-    Requires N == K so acc can feed back into the LHS shape."""
+    Two elimination hazards, both hit by earlier runs of this script:
+    (1) within one body, R identical repeats CSE down to one — defeated by
+    feeding each repeat's accumulator back into the next LHS; (2) across
+    grid steps, a body that doesn't depend on the grid index is
+    loop-invariant and Mosaic hoists it out of the grid loop entirely, so
+    the two-grid delta measures ~0 and the derived TFLOP/s reads >peak
+    (the r5 run measured an impossible 9.9e9 TFLOP/s) — defeated by
+    carrying the accumulator through the revisited output block, making
+    every grid step depend on the previous one. Requires N == K so acc
+    can feed back into the LHS shape."""
+    import jax.experimental.pallas as pl
     assert N == K
-    acc = jnp.zeros((M, N), jnp.float32)
-    x = a_ref[...]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    acc = o_ref[...].astype(jnp.float32)
+    # cross-step dependence: this step's LHS reads last step's output
+    x = a_ref[...] + (acc * 1e-30).astype(a_ref.dtype)
     for r in range(R):
         for k in range(9):
             acc = acc + jnp.dot(x, w_ref[k],
@@ -119,11 +131,17 @@ def _mm9_kernel(a_ref, w_ref, o_ref, *, R, M, K, N):
 
 def _mm1_kernel(a_ref, w_ref, o_ref, *, R, M, K9, N):
     """R repeats of the im2col-form single (M,9K)@(9K,N) matmul, with the
-    same anti-CSE serial dependence as _mm9_kernel (acc tiled 9x along
-    the K axis to match the (M,9K) LHS)."""
+    same anti-CSE and anti-hoist serial dependences as _mm9_kernel (acc
+    tiled 9x along the K axis to match the (M,9K) LHS)."""
+    import jax.experimental.pallas as pl
     assert K9 == 9 * N
-    acc = jnp.zeros((M, N), jnp.float32)
-    x = a_ref[...]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    acc = o_ref[...].astype(jnp.float32)
+    x = a_ref[...] + jnp.tile(acc * 1e-30, (1, 9)).astype(a_ref.dtype)
     for r in range(R):
         acc = acc + jnp.dot(x, w_ref[...],
                             preferred_element_type=jnp.float32)
@@ -139,6 +157,8 @@ def _bench_kernel(kernel, a, w, out_shape, flops_per_step, iters=8,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = bool(os.environ.get("PERF_RESIDUAL_INTERPRET"))
+
     def timed(G):
         run = jax.jit(lambda a_, w_: pl.pallas_call(
             kernel,
@@ -147,6 +167,7 @@ def _bench_kernel(kernel, a, w, out_shape, flops_per_step, iters=8,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
         )(a_, w_).sum())
         float(run(a, w))
         t0 = time.time()
@@ -156,43 +177,95 @@ def _bench_kernel(kernel, a, w, out_shape, flops_per_step, iters=8,
 
     t_lo, t_hi = timed(grids[0]), timed(grids[1])
     dt = max(t_hi - t_lo, 1e-9) / (grids[1] - grids[0])
-    return flops_per_step / dt / 1e12
+    # raw per-grid timings ride along so an impossible derived number is
+    # diagnosable from the artifact alone
+    return flops_per_step / dt / 1e12, t_lo, t_hi
+
+
+def _xla_dot_tflops(key, M, K, N, *, nine, chains=(16, 80), iters=8):
+    """Cross-check: the same dot shapes timed as a serial lax.fori_loop
+    chain inside one plain-XLA jit (no Pallas) — two chain lengths, delta
+    cancels the per-dispatch RPC. The carry feeds each iteration's
+    accumulator into the next LHS, so iterations can be neither CSEd nor
+    hoisted. Measures the MXU at the shape itself; agreement with the
+    Pallas kernel numbers rules out harness artifacts on either side."""
+    a = jax.random.normal(key, (M, 9 * K if not nine else K), jnp.bfloat16)
+    w = jax.random.normal(key, (9, K, N) if nine else (9 * K, N),
+                          jnp.bfloat16)
+    flops_per_step = 2.0 * M * K * N * 9
+
+    def timed(chain):
+        def body(i, carry):
+            x, acc = carry
+            if nine:
+                for k in range(9):
+                    acc = acc + jnp.dot(x, w[k],
+                                        preferred_element_type=jnp.float32)
+                x = x + (acc * 1e-30).astype(x.dtype)
+            else:
+                acc = acc + jnp.dot(x, w,
+                                    preferred_element_type=jnp.float32)
+                x = x + jnp.tile(acc * 1e-30, (1, 9)).astype(x.dtype)
+            return x, acc
+
+        @jax.jit
+        def run(a_):
+            _, acc = jax.lax.fori_loop(
+                0, chain, body, (a_, jnp.zeros((M, N), jnp.float32)))
+            return acc.sum()
+
+        float(run(a))
+        t0 = time.time()
+        for _ in range(iters):
+            float(run(a))
+        return (time.time() - t0) / iters
+
+    t_lo, t_hi = timed(chains[0]), timed(chains[1])
+    dt = max(t_hi - t_lo, 1e-9) / (chains[1] - chains[0])
+    return flops_per_step / dt / 1e12, t_lo, t_hi
 
 
 def part2_mxu(peak_tflops=197.0):
     key = jax.random.PRNGKey(0)
     out = {}
+
+    def record(tag, tf, t_lo, t_hi):
+        if tf > peak_tflops:
+            # refuse to publish an impossible number, but keep the raw
+            # timings so the failure is diagnosable from the artifact
+            out[f"error_{tag}"] = (
+                f"measured {tf:.3g} TFLOP/s > {peak_tflops} peak - work "
+                f"optimized away (t_lo {t_lo * 1e3:.1f} ms, t_hi "
+                f"{t_hi * 1e3:.1f} ms); numbers withheld")
+            print(f"{tag}: INVALID {out[f'error_{tag}']}", flush=True)
+            return
+        out[f"{tag}_tflops"] = round(tf, 1)
+        out[f"{tag}_mxu_eff"] = round(tf / peak_tflops, 3)
+        out[f"{tag}_t_ms"] = [round(t_lo * 1e3, 2), round(t_hi * 1e3, 2)]
+        print(f"{tag}: {tf:.1f} TFLOP/s ({tf / peak_tflops:.0%} of peak, "
+              f"t {t_lo * 1e3:.1f}->{t_hi * 1e3:.1f} ms)", flush=True)
+
     # dominant fused-conv shapes: (bt*H*W, K) at the 32x32 (bt=2, K=128)
     # and 16x16 (bt=4, K=256) levels of the CIFAR model
     for (M, K, N, R) in ((2048, 128, 128, 64), (1024, 256, 256, 32)):
         a = jax.random.normal(key, (M, K), jnp.bfloat16)
         w9 = jax.random.normal(key, (9, K, N), jnp.bfloat16)
         flops = 2.0 * M * K * N * 9 * R
-        tf = _bench_kernel(
+        record(f"mm9_{M}x{K}x{N}", *_bench_kernel(
             functools.partial(_mm9_kernel, R=R, M=M, K=K, N=N),
-            a, w9, (M, N), flops)
-        if tf > peak_tflops:
-            raise RuntimeError(
-                f"mm9 measured {tf:.0f} TFLOP/s > {peak_tflops} peak — "
-                f"the kernel work was optimized away; numbers invalid")
-        out[f"mm9_{M}x{K}x{N}_tflops"] = round(tf, 1)
-        out[f"mm9_{M}x{K}x{N}_mxu_eff"] = round(tf / peak_tflops, 3)
-        print(f"9x({M},{K})@({K},{N}): {tf:.1f} TFLOP/s "
-              f"({tf / peak_tflops:.0%} of peak)", flush=True)
+            a, w9, (M, N), flops))
 
         a1 = jax.random.normal(key, (M, 9 * K), jnp.bfloat16)
         w1 = jax.random.normal(key, (9 * K, N), jnp.bfloat16)
-        tf1 = _bench_kernel(
+        record(f"mm1_{M}x{9 * K}x{N}", *_bench_kernel(
             functools.partial(_mm1_kernel, R=R, M=M, K9=9 * K, N=N),
-            a1, w1, (M, N), flops)
-        if tf1 > peak_tflops:
-            raise RuntimeError(
-                f"mm1 measured {tf1:.0f} TFLOP/s > {peak_tflops} peak — "
-                f"the kernel work was optimized away; numbers invalid")
-        out[f"mm1_{M}x{9 * K}x{N}_tflops"] = round(tf1, 1)
-        out[f"mm1_{M}x{9 * K}x{N}_mxu_eff"] = round(tf1 / peak_tflops, 3)
-        print(f"im2col ({M},{9 * K})@({9 * K},{N}): {tf1:.1f} TFLOP/s "
-              f"({tf1 / peak_tflops:.0%} of peak)", flush=True)
+            a1, w1, (M, N), flops))
+
+        # independent XLA-dot cross-check of both forms at the same shape
+        record(f"mm9_xla_{M}x{K}x{N}",
+               *_xla_dot_tflops(key, M, K, N, nine=True))
+        record(f"mm1_xla_{M}x{9 * K}x{N}",
+               *_xla_dot_tflops(key, M, K, N, nine=False))
     return out
 
 
@@ -210,7 +283,7 @@ def main():
         # must not survive next to freshly measured mm9_/mm1_ fields
         out = {k: v for k, v in out.items()
                if not (k.startswith(("mm9_", "mm1_", "error_part2",
-                                     "note_mm")))}
+                                     "error_mm", "note_mm")))}
 
     def flush():
         # write incrementally so a crash in a later part never loses the
