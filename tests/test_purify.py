@@ -395,3 +395,31 @@ class TestGuidedScoreGradients:
             self._guided_eps(1.0), PARAMS, xx, k,
             cfg)[x.shape[0]:] ** 2))(x)
         assert float(jnp.abs(g2).max()) > 0
+
+
+class TestDDIM50DepthClaim:
+    def test_respaced_index8_is_abar_matched_to_t150(self):
+        """Pin bench.py's ADM_DDIM_T = 8 (and GRADIENTS.md's ddim50 route):
+        on the ddim50 respacing of the 1000-step linear schedule, respaced
+        index 8 maps to original step 160 and its cumulative alpha-bar
+        EQUALS the original schedule's at that step — the abar-matched
+        depth closest to the reference's t* = 150
+        (ref guided_diffusion/respace.py:71-135). A schedule/respacing
+        regression would silently change the purification depth every
+        benched ddim50 number relies on."""
+        import numpy as np
+
+        from diffpure_tpu.purify.runners import make_imagenet_diffusion
+
+        d50 = make_imagenet_diffusion("ddim50")
+        d1000 = make_imagenet_diffusion("1000")
+        a50 = np.asarray(d50.alphas_cumprod)
+        a1000 = np.asarray(d1000.alphas_cumprod)
+
+        assert d50.timestep_map[8] == 160
+        assert np.isclose(a50[8], a1000[160], rtol=0, atol=1e-12)
+        # 160 is the closest original step to the respaced depth, and the
+        # nearest-abar original index to a50[8] is 160 itself (not 150 —
+        # the respacing can only land on multiples of 20)
+        assert int(np.argmin(np.abs(a1000 - a50[8]))) == 160
+        assert abs(160 - 150) <= 10  # within one respacing stride of t*
