@@ -288,6 +288,12 @@ def bench_cifar_grad():
 
 CELEBA_BATCH = 2
 CELEBA_T_STAR = 50  # ms/eval is what matters; the protocol runs t*=500
+# XLA cost analysis of one DDPM-UNet-256 eval at batch 1 (same derivation
+# as CIFAR_GFLOP_PER_IMG_EVAL); the baseline denominator applies the
+# BASELINE.md convention — torch-eager V100 at ~30% of fp16 peak
+# (125 TFLOP/s -> 37.5 sustained), i.e. 497.78 / 37.5 = 13.27 ms/img-eval
+CELEBA_GFLOP_PER_IMG_EVAL = 497.78
+CELEBA_V100_MS_PER_IMG_EVAL = CELEBA_GFLOP_PER_IMG_EVAL / 37.5
 
 
 def bench_celebahq():
@@ -443,8 +449,12 @@ def main():
     if want("celebahq_ddpm256_bf16"):
         try:
             dt, compile_s = bench_celebahq()
+            ms_eval = dt / CELEBA_T_STAR * 1e3
             workloads["celebahq_ddpm256_bf16"] = {
-                "ms_per_unet_eval": round(dt / CELEBA_T_STAR * 1e3, 2),
+                "ms_per_unet_eval": round(ms_eval, 2),
+                "vs_baseline": round(
+                    CELEBA_V100_MS_PER_IMG_EVAL
+                    / (ms_eval / CELEBA_BATCH), 2),
                 "batch": CELEBA_BATCH,
                 "compile_s": round(compile_s, 1),
             }
