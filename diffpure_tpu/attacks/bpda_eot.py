@@ -137,9 +137,16 @@ def _pgd_update(x_adv, grad, x0, cfg: BPDAEOTConfig):
 
 def bpda_eot_attack(purify_fn: PurifyFn, classify_fn: ClassifyFn,
                     x: Array, y: Array, key: Array,
-                    cfg: BPDAEOTConfig) -> Tuple[Array, np.ndarray]:
+                    cfg: BPDAEOTConfig,
+                    log=None) -> Tuple[Array, np.ndarray]:
     """Returns (x_adv, class_batch) where class_batch is the
-    (adv_steps+2, B) per-step defended matrix (ref :127-167)."""
+    (adv_steps+2, B) per-step defended matrix (ref :127-167).
+
+    `log` (optional) gets one line per PGD step — at CelebA-HQ t*=500
+    budgets a step costs minutes and the whole attack runs hours, so the
+    per-step defended count is the progress/partial-evidence record."""
+    import time as _time
+    _t0 = _time.time()
     B = x.shape[0]
     class_batch = np.zeros((cfg.adv_steps + 2, B), dtype=bool)
 
@@ -178,6 +185,10 @@ def bpda_eot_attack(purify_fn: PurifyFn, classify_fn: ClassifyFn,
                 verified_wrong = np.asarray(pred != y)
                 defended = defended & ~(flipped & verified_wrong)
             class_batch[step + 1] = defended
+
+        if log is not None:
+            log(f"[bpda] step {step}/{cfg.adv_steps}: defended "
+                f"{int(defended.sum())}/{B} ({_time.time() - _t0:.0f}s)")
 
         if step < cfg.adv_steps:
             x_adv = _pgd_update(x_adv, grad, x, cfg)

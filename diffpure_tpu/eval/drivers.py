@@ -106,7 +106,8 @@ def eval_bpda(defended: DefendedModel, x: Array, y: Array, key: Array,
             classifier_params=None)
         t0 = time.time()
         _, base_matrix = bpda_eot_attack(base.purify, base.classify, x, y,
-                                         jax.random.fold_in(key, 999), cfg)
+                                         jax.random.fold_in(key, 999), cfg,
+                                         log=lambda s: log(f"[clf] {s}"))
         results["classifier_init_acc"] = float(base_matrix[0].mean())
         results["classifier_robust_acc"] = float(base_matrix[-1].mean())
         log(f"[clf] init acc: {results['classifier_init_acc']:.2%}, "
@@ -115,7 +116,7 @@ def eval_bpda(defended: DefendedModel, x: Array, y: Array, key: Array,
 
     t0 = time.time()
     x_adv, class_batch = bpda_eot_attack(defended.purify, defended.classify,
-                                         x, y, key, cfg)
+                                         x, y, key, cfg, log=log)
     _save(log_dir, "x_adv_bpda.npy", x_adv)
     results["init_acc"] = float(class_batch[0].mean())
     results["robust_acc"] = float(class_batch[-1].mean())
