@@ -166,14 +166,22 @@ def _celebahq_table(root: str):
 
 def celebahq_subset(root: str, attribute: str, partition: str = "val",
                     fraction: Optional[float] = 2.0, data_seed: int = 1,
-                    base_size: int = 256
+                    base_size: int = 256, min_count: int = 1
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """ref datasets.py:133-186 (CelebAHQDataset with fraction subsetting)."""
+    """ref datasets.py:133-186 (CelebAHQDataset with fraction subsetting).
+
+    `min_count` floors the fraction subset: on the real 30k-image CelebA-HQ
+    the reference's 2% slice is ~600 images and the floor never binds, but
+    on a fixture-scale dataset int(2% of 8) == 0 would return an empty
+    batch — clamp to [min_count, len(partition)] so the caller always gets
+    the images it will actually consume.
+    """
     filenames, attr_names, attrs, parts = _celebahq_table(root)
     part_to_int = dict(train=0, val=1, test=2)
     partition_idx = np.where(parts == part_to_int[partition])[0]
     if fraction is not None:
         new_length = int(fraction / 100 * len(partition_idx))
+        new_length = min(len(partition_idx), max(min_count, new_length))
         rng = np.random.RandomState(data_seed)
         partition_idx = rng.choice(partition_idx, new_length, replace=False)
 
@@ -218,7 +226,8 @@ def load_data(domain: str, num_sub: int, data_seed: int,
         attribute = classifier_name.split("__")[-1]
         x, y = celebahq_subset(os.path.join(root, "celebahq"), attribute,
                                partition="val", fraction=2.0,
-                               data_seed=data_seed)
+                               data_seed=data_seed,
+                               min_count=adv_batch_size)
         x, y = x[:adv_batch_size], y[:adv_batch_size]
         return x[shard::num_shards], y[shard::num_shards]
     raise NotImplementedError(f"unknown domain {domain}")

@@ -84,6 +84,21 @@ class TestCelebAHQ:
         n_train = sum(1 for i in range(20) if i % 3 == 0)
         assert x.shape[0] == int(0.5 * n_train)
 
+    def test_fraction_floor_on_fixture_scale(self, fake_celebahq):
+        """The reference's 2% val slice rounds to ZERO images on a
+        fixture-scale dataset (int(0.02 * 7) == 0) and np.stack crashes;
+        min_count floors the slice to what the caller consumes, capped
+        at the partition size."""
+        root, *_ = fake_celebahq
+        x, y = celebahq_subset(root, "Eyeglasses", partition="val",
+                               fraction=2.0, base_size=16, min_count=2)
+        assert x.shape[0] == 2
+        n_val = sum(1 for i in range(20) if i % 3 == 1)
+        x, _ = celebahq_subset(root, "Eyeglasses", partition="val",
+                               fraction=2.0, base_size=16,
+                               min_count=n_val + 5)   # floor > partition
+        assert x.shape[0] == n_val
+
 
 class TestTransforms:
     def test_imval_resize_center_crop(self, rng):
