@@ -195,6 +195,36 @@ class TestDeSaturatedRegime:
         assert rob_def <= clean_def - 0.10, (clean_def, rob_def)
 
 
+class TestHardFlagshipArtifact:
+    def test_flagship_defended_strictly_between(self):
+        """The round-5 flagship-hard chip artifact
+        (docs/defense_hard_flagship/results.json — the 107M NCSN++
+        trained on the de-saturated 8-class mixture, full protocol at
+        n_eval=32) must carry the reference's CIFAR shape: defended
+        robust accuracy STRICTLY between undefended and clean, for both
+        the exact-gradient white-box attack and BPDA.  Extends the
+        de-saturation guard above from the in-suite nf=32 regime to the
+        committed flagship-scale measurement — if the artifact is ever
+        regenerated into a saturated or collapsed state, the suite
+        fails rather than the doc silently drifting."""
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "docs", "defense_hard_flagship",
+                            "results.json")
+        r = json.load(open(path))
+        assert r["config"]["score_nf"] == 128          # flagship width
+        assert r["config"]["n_classes"] == 8           # hard mixture
+        undef = r["robust_acc_undefended"]
+        clean = r["sde"]["clean_acc"]
+        wb = r["sde"]["robust_acc_apgd_eot"]
+        bpda = r["sde"]["robust_acc_bpda"]
+        assert clean >= 0.90, clean
+        for rob in (wb, bpda):
+            assert rob >= undef + 0.15, (undef, rob)   # defense helps
+            assert rob <= clean - 0.10, (clean, rob)   # attack wins ground
+
+
 class TestProtocolCheckpointing:
     def test_checkpoint_fires_per_phase(self):
         """run_demo_protocol(checkpoint=...) persists partial results after
