@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import numpy as np
 
 __all__ = ["jit_lifted", "scan_chunked"]
 
@@ -35,6 +36,23 @@ def jit_lifted(fn: Callable, *example_args) -> Callable:
     closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(*example_args)
     out_tree = jax.tree_util.tree_structure(out_shape)
     jaxpr, consts = closed.jaxpr, closed.consts
+    # Upload captured host (numpy) constants to the device ONCE at build
+    # time. Without this, a closure over pickle-loaded numpy params
+    # re-transfers them on EVERY call — for the 107M-param NCSN++ that is
+    # ~430 MB per dispatch through the remote-backend tunnel, and the
+    # tunnel client's per-execution host buffers accumulate (observed: a
+    # chunked APGD-T suite run OOM-killed at 129 GB anon RSS after ~300
+    # single-iteration dispatches). This also makes the documented
+    # capture-by-value semantics real: mutating the original numpy array
+    # between calls no longer changes results. Two traps here: (a) jaxpr
+    # consts arrive as TypedNdArray literal wrappers, not np.ndarray, and
+    # jax.device_put passes those through host-side untouched; (b) a
+    # zero-copy conversion would alias the caller's writable buffer, so
+    # later mutations would leak through. np.array(c) forces a private
+    # host copy (one extra memcpy at build time, nothing per call), and
+    # device_put of that is a real device Array.
+    consts = [c if isinstance(c, jax.Array) else jax.device_put(np.array(c))
+              for c in consts]
 
     def converted(consts, *args):
         args_flat = jax.tree_util.tree_leaves(args)

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--score_steps", type=int, default=None)
     ap.add_argument("--dpm", action="store_true",
                     help="also run DPM-Solver++@20 defense-equivalence")
+    ap.add_argument("--dtypes", default=None,
+                    help="comma list of purification diffusion types to "
+                         "run (sde,dpm); overrides --dpm. A resume leg "
+                         "whose sde section already landed can run "
+                         "'--dtypes dpm' alone against the cached weights")
     ap.add_argument("--standard", action="store_true",
                     help="also run the full AA standard suite (APGD-CE/T, "
                          "FAB-T, Square) through the purifier")
@@ -161,7 +166,12 @@ def main():
             image_size=cfg.size, nf=cfg.score_nf,
             ch_mult=cfg.score_ch_mult, num_res_blocks=cfg.score_blocks,
             attn_resolutions=cfg.score_attn, num_scales=1000, dropout=0.0)
-        clf_params, score_params = blob["clf"], blob["score"]
+        # device_put the pickled numpy params ONCE: closures over numpy
+        # arrays re-upload them on every jit_lifted dispatch (~430 MB per
+        # dispatch for the 107M score net on the tunneled backend — the
+        # cause of the hard_aa leg's 129 GB host-OOM kill)
+        clf_params = jax.device_put(blob["clf"])
+        score_params = jax.device_put(blob["score"])
         print(f"loaded trained weights from {cache}", flush=True)
     else:
         clf, clf_params = train_demo_classifier(cfg)
@@ -185,6 +195,8 @@ def main():
                    "dose_response": curve}
     else:
         dtypes = ("sde", "dpm") if args.dpm else ("sde",)
+        if args.dtypes:
+            dtypes = tuple(a for a in args.dtypes.split(",") if a)
         if args.attacks is not None:
             attacks = [a for a in args.attacks.split(",") if a]
         else:

@@ -245,27 +245,38 @@ def part2_mxu(peak_tflops=197.0):
         print(f"{tag}: {tf:.1f} TFLOP/s ({tf / peak_tflops:.0%} of peak, "
               f"t {t_lo * 1e3:.1f}->{t_hi * 1e3:.1f} ms)", flush=True)
 
+    def guarded(tag, fn, *a, **k):
+        # one kernel's compile failure (remote tpu_compile_helper crashes
+        # are routine on this backend) must not discard the measurements
+        # that already succeeded — the r5b/r5e runs both lost their mm9/
+        # mm1 numbers this way
+        try:
+            record(tag, *fn(*a, **k))
+        except Exception as e:  # noqa: BLE001
+            out[f"error_{tag}"] = _one_line_reason(e)
+            print(f"{tag}: FAILED {out[f'error_{tag}']}", flush=True)
+
     # dominant fused-conv shapes: (bt*H*W, K) at the 32x32 (bt=2, K=128)
     # and 16x16 (bt=4, K=256) levels of the CIFAR model
     for (M, K, N, R) in ((2048, 128, 128, 64), (1024, 256, 256, 32)):
         a = jax.random.normal(key, (M, K), jnp.bfloat16)
         w9 = jax.random.normal(key, (9, K, N), jnp.bfloat16)
         flops = 2.0 * M * K * N * 9 * R
-        record(f"mm9_{M}x{K}x{N}", *_bench_kernel(
-            functools.partial(_mm9_kernel, R=R, M=M, K=K, N=N),
-            a, w9, (M, N), flops))
+        guarded(f"mm9_{M}x{K}x{N}", _bench_kernel,
+                functools.partial(_mm9_kernel, R=R, M=M, K=K, N=N),
+                a, w9, (M, N), flops)
 
         a1 = jax.random.normal(key, (M, 9 * K), jnp.bfloat16)
         w1 = jax.random.normal(key, (9 * K, N), jnp.bfloat16)
-        record(f"mm1_{M}x{9 * K}x{N}", *_bench_kernel(
-            functools.partial(_mm1_kernel, R=R, M=M, K9=9 * K, N=N),
-            a1, w1, (M, N), flops))
+        guarded(f"mm1_{M}x{9 * K}x{N}", _bench_kernel,
+                functools.partial(_mm1_kernel, R=R, M=M, K9=9 * K, N=N),
+                a1, w1, (M, N), flops)
 
         # independent XLA-dot cross-check of both forms at the same shape
-        record(f"mm9_xla_{M}x{K}x{N}",
-               *_xla_dot_tflops(key, M, K, N, nine=True))
-        record(f"mm1_xla_{M}x{9 * K}x{N}",
-               *_xla_dot_tflops(key, M, K, N, nine=False))
+        guarded(f"mm9_xla_{M}x{K}x{N}",
+                _xla_dot_tflops, key, M, K, N, nine=True)
+        guarded(f"mm1_xla_{M}x{9 * K}x{N}",
+                _xla_dot_tflops, key, M, K, N, nine=False)
     return out
 
 

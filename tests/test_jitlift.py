@@ -57,6 +57,23 @@ class TestJitLifted:
             f"closure {closure_size}B vs lifted {lifted_size}B — jax now "
             "hoists constants; jit_lifted may be unnecessary")
 
+    def test_numpy_consts_uploaded_once(self, key):
+        """A closure over HOST numpy arrays (the pickle-loaded-weights
+        path) must capture them by value at build time: one device upload,
+        not a ~430MB re-transfer per dispatch (the hard_aa 129GB host-OOM).
+        Capture-by-value is observable: mutating the numpy array after
+        build must NOT change results."""
+        # np.array (not asarray): asarray of a jax Array is a read-only
+        # view; the pickle-load path being modeled yields writable buffers
+        W_np = np.array(jax.random.normal(key, (32, 32)))
+        f = lambda x: (x @ W_np).sum()
+        x = jnp.ones((4, 32))
+        call = jit_lifted(f, x)
+        before = float(call(x))
+        W_np *= 0.0          # would zero the result if re-read per call
+        after = float(call(x))
+        assert before == after != 0.0
+
     def test_scan_closure_is_safe_baseline(self, key):
         """Documenting why only explicit jit boundaries need lifting:
         an eager lax.scan passes body consts as operands, so the scanned
