@@ -22,8 +22,28 @@ while kill -0 "$(cat /tmp/hw_queue_r5e.pid 2>/dev/null)" 2>/dev/null \
 done
 echo "leg E finished at $(date -u +%H:%M:%S); chip free"
 
+# Stages are skipped once past the deadline so the chip is free when the
+# round driver runs bench.py (a contended chip would corrupt the headline
+# numbers). Override with HW_QUEUE_DEADLINE=HH:MM (UTC).
+DEADLINE=${HW_QUEUE_DEADLINE:-19:45}
+past_deadline() {
+  [ "$(date -u +%H:%M)" \> "$DEADLINE" ]
+}
+
 run() {
   local name=$1 tmo=$2; shift 2
+  if past_deadline; then
+    echo "=== $name: SKIPPED (past $DEADLINE UTC deadline) ==="
+    echo "{\"stage\": \"$name\", \"rc\": -1, \"skipped\": \"deadline\"}" \
+      >> "$LOG/stages.jsonl"
+    return 125
+  fi
+  # clamp the timeout to the deadline so no stage holds the chip past it
+  local now_s dl_s left
+  now_s=$(date -u +%s)
+  dl_s=$(date -u -d "today $DEADLINE" +%s 2>/dev/null || echo $((now_s + tmo)))
+  left=$((dl_s - now_s))
+  [ "$left" -gt 60 ] && [ "$left" -lt "$tmo" ] && tmo=$left
   echo "=== $name: $* (timeout ${tmo}s) at $(date -u +%H:%M:%S) ==="
   local t0=$SECONDS
   timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
