@@ -41,6 +41,15 @@ class BPDAEOTConfig:
     eot_attack_reps: int = 15
     attack_norm: str = "l_inf"  # 'l_inf' | 'l_2'
     defense_batch: int = 30  # defense reps evaluated in chunks of this size
+    # attack-EOT reps per device dispatch. 0 = all reps in one dispatch
+    # (the default; one jitted program per PGD step). Remote-execution
+    # backends kill multi-minute single dispatches (execution watchdog,
+    # docs/STATUS.md) — at CelebA-HQ t*=500 budgets one monolithic PGD
+    # step is 15 reps x 500-step purify = minutes of device time, so set
+    # this to bound each dispatch (like defense_batch, the chunks draw
+    # per-chunk folded keys: a statistically equivalent EOT estimate, not
+    # a bit-identical stream).
+    attack_batch: int = 0
 
 
 def _rep_predict(purify_fn: PurifyFn, classify_fn: ClassifyFn, x: Array,
@@ -78,15 +87,16 @@ def defense_predict(purify_fn, classify_fn, x, key, cfg: BPDAEOTConfig):
     return jnp.argmax(probs, axis=-1)
 
 
-def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig,
-                 nfe_phases: dict = None):
-    """(correct_mask, BPDA gradient, nfe) via eot_attack_reps (ref :98-110).
+def _attack_grad_core(purify_fn, classify_fn, x, y, key, n: int,
+                      cfg: BPDAEOTConfig, nfe_phases: dict = None):
+    """(softmax-prob SUM, BPDA-gradient SUM, nfe) over `n` purifier
+    samples (ref :98-110). Sums (not means) so chunked dispatches can be
+    accumulated across chunks and normalized once.
 
     nfe is the purifier's function-evaluation count as a program output
     (runtime NFE accounting on callback-less backends)."""
     from diffpure_tpu.utils.profiling import nfe_tally
 
-    n = cfg.eot_attack_reps
     x_rep = jnp.tile(x, (n, 1, 1, 1))
     with nfe_tally() as tly:
         purified = purify_fn(x_rep, key)
@@ -112,10 +122,21 @@ def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig,
             lambda xx: jax.image.resize(xx, purified.shape, "bilinear"),
             x_rep)
         g = resize_vjp(g)[0]
-    grad = g.reshape((n, B) + x.shape[1:]).mean(axis=0)  # identity-jacobian
-    probs = jax.nn.softmax(logits, -1).reshape(n, B, -1).mean(axis=0)
+    grad_sum = g.reshape((n, B) + x.shape[1:]).sum(axis=0)  # identity-jac
+    probs_sum = jax.nn.softmax(logits, -1).reshape(n, B, -1).sum(axis=0)
+    return probs_sum, grad_sum, tly.total
+
+
+def _attack_grad(purify_fn, classify_fn, x, y, key, cfg: BPDAEOTConfig,
+                 nfe_phases: dict = None):
+    """(correct_mask, BPDA gradient, nfe) via eot_attack_reps — the
+    single-dispatch path (all reps tiled into one program)."""
+    n = cfg.eot_attack_reps
+    probs_sum, grad_sum, nfe = _attack_grad_core(
+        purify_fn, classify_fn, x, y, key, n, cfg, nfe_phases)
+    probs = probs_sum / n
     correct = jnp.argmax(probs, -1) == y
-    return correct, grad, tly.total
+    return correct, grad_sum / n, nfe
 
 
 def _pgd_update(x_adv, grad, x0, cfg: BPDAEOTConfig):
@@ -162,8 +183,42 @@ def bpda_eot_attack(purify_fn: PurifyFn, classify_fn: ClassifyFn,
     from diffpure_tpu.utils.jitlift import jit_lifted
     from diffpure_tpu.utils.profiling import absorb_nfe
     nfe_phases: dict = {}
-    attack_step = jit_lifted(lambda xa, k: _attack_grad(
-        purify_fn, classify_fn, xa, y, k, cfg, nfe_phases), x, key)
+    reps = cfg.eot_attack_reps
+    chunk = cfg.attack_batch if 0 < cfg.attack_batch < reps else reps
+    if chunk == reps:
+        attack_step = jit_lifted(lambda xa, k: _attack_grad(
+            purify_fn, classify_fn, xa, y, k, cfg, nfe_phases), x, key)
+    else:
+        # bounded dispatches: each chunk of attack reps is its own device
+        # execution (watchdog-safe); sums accumulate on device, normalized
+        # once per PGD step. Chunk programs cached by rep count (the tail
+        # may be shorter).
+        chunk_fns = {}
+
+        def _chunk_fn(n):
+            if n not in chunk_fns:
+                chunk_fns[n] = jit_lifted(
+                    lambda xa, k: _attack_grad_core(
+                        purify_fn, classify_fn, xa, y, k, n, cfg,
+                        nfe_phases), x, key)
+            return chunk_fns[n]
+
+        def attack_step(xa, k):
+            probs_sum = grad_sum = None
+            nfe = 0
+            done = 0
+            r = 0
+            while done < reps:
+                n = min(chunk, reps - done)
+                ps, gs, nf = _chunk_fn(n)(xa, jax.random.fold_in(k, 7000 + r))
+                probs_sum = ps if probs_sum is None else probs_sum + ps
+                grad_sum = gs if grad_sum is None else grad_sum + gs
+                nfe = nfe + nf
+                done += n
+                r += 1
+            probs = probs_sum / reps
+            correct = jnp.argmax(probs, -1) == y
+            return correct, grad_sum / reps, nfe
 
     x_adv = x
     for step in range(cfg.adv_steps + 1):

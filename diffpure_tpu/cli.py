@@ -200,6 +200,8 @@ def main(argv=None):
                              adv_steps=args.adv_steps,
                              eot_defense_reps=args.eot_defense_reps,
                              eot_attack_reps=args.eot_attack_reps,
+                             defense_batch=args.eot_defense_batch,
+                             attack_batch=args.eot_attack_batch,
                              attack_norm=("l_inf" if args.lp_norm == "Linf"
                                           else "l_2"))
 

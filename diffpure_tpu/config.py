@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adv_steps", type=int, default=50)
     p.add_argument("--eot_defense_reps", type=int, default=150)
     p.add_argument("--eot_attack_reps", type=int, default=15)
+    p.add_argument("--eot_defense_batch", type=int, default=30,
+                   help="defense reps per device dispatch (BPDA vote)")
+    p.add_argument("--eot_attack_batch", type=int, default=0,
+                   help="attack-EOT reps per device dispatch (0 = all in "
+                        "one program); bounds single-execution time on "
+                        "remote TPU backends — a 500-step purifier x 15 "
+                        "reps in one dispatch trips the execution watchdog")
     # grad mode (TPU extension)
     p.add_argument("--solver_steps", type=int, default=None,
                    help="score evals for the accelerated solvers "

@@ -24,7 +24,7 @@ run() {
 #    100-iter budgets, seeded with flagship_wb's trained weights
 mkdir -p docs/defense_demo_large_aa
 [ -f docs/defense_demo_large_aa/trained_weights.pkl ] || \
-  ln docs/defense_demo_large/trained_weights.pkl \
+  cp docs/defense_demo_large/trained_weights.pkl \
      docs/defense_demo_large_aa/trained_weights.pkl 2>/dev/null || true
 run flagship_aa  9600  python scripts/defense_demo.py --large --standard \
                          --aa_iter 100 --n_eval 16 \
